@@ -1,0 +1,354 @@
+"""Fused multi-head attention for the joint text+video DiT sequence.
+
+TPU-native replacement for the reference's single SDPA call over the
+concatenated [text, video] sequence (reference cogvideox_control.py:256).
+The sequence is bidirectional (no causal mask); the only masking needed is
+tail padding when S is not a multiple of the kernel block size, which is
+static at trace time.
+
+Two implementations:
+  * `mha_reference` — plain jnp einsum/softmax; O(S^2) memory. Used for
+    parity tests and as a CPU fallback.
+  * `flash_attention` — Pallas online-softmax kernel (fwd + custom-VJP bwd)
+    that never materializes the S×S matrix. The grid iterates KV blocks in
+    the innermost ("arbitrary") dimension with f32 running (max, sum, acc)
+    scratch carried across grid steps, which Mosaic pipelines against the
+    KV DMA stream.
+
+Layout: q, k, v are [B, H, S, D]. D is the head dim (64 for CogVideoX).
+The saved logsumexp rides a 128-lane-broadcast [BH, S, 128] buffer (the
+minimal TPU-tileable layout for per-row scalars); the backward kernels
+recompute delta = rowsum(dO·O) in-kernel instead of materializing it.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+LANES = 128
+
+
+def _interpret() -> bool:
+    """Run Pallas in interpreter mode off-TPU (CPU test meshes)."""
+    return jax.default_backend() != "tpu"
+
+
+def mha_reference(q, k, v, scale: Optional[float] = None):
+    """[B,H,S,D] jnp reference attention (f32 softmax)."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, scale, kv_len, block_k):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+
+    # mask padded tail keys (kv_len is static)
+    key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_idx < kv_len, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]  # [bq, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
+    p = jnp.exp(s - m_new)  # [bq, bk]
+
+    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        l = l_scr[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(m_scr[:, :1] + jnp.log(l_safe), lse_ref.shape[1:])
+
+
+def _fwd(q, k, v, scale, block_q, block_k):
+    B, H, S, D = q.shape
+    Skv = k.shape[2]
+    Sq_pad = pl.cdiv(S, block_q) * block_q
+    Skv_pad = pl.cdiv(Skv, block_k) * block_k
+    bh = B * H
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_pad - S), (0, 0))).reshape(bh, Sq_pad, D)
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_pad - Skv), (0, 0))).reshape(bh, Skv_pad, D)
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_pad - Skv), (0, 0))).reshape(bh, Skv_pad, D)
+
+    grid = (bh, Sq_pad // block_q, Skv_pad // block_k)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, kv_len=Skv, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, qi, ki: (b, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, Sq_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((bh, Sq_pad, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * S * Skv * D * bh,
+            bytes_accessed=(qp.size * qp.dtype.itemsize + kp.size * kp.dtype.itemsize
+                            + vp.size * vp.dtype.itemsize),
+            transcendentals=S * Skv * bh,
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp)
+    out = out.reshape(B, H, Sq_pad, D)[:, :, :S]
+    return out, lse  # lse stays [bh, Sq_pad, LANES] for the backward
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels (delta recomputed in-kernel from O and dO)
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, dq_scr,
+                   *, scale, kv_len, block_k):
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_idx < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])  # [bq, bk]
+
+    do = do_ref[0].astype(jnp.float32)
+    delta = jnp.sum(o_ref[0].astype(jnp.float32) * do, axis=-1, keepdims=True)  # [bq,1]
+    dp = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta) * scale
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref, dv_ref,
+                    dk_scr, dv_scr, *, scale, kv_len, q_len, block_q, block_k):
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bk, d]
+    # stay q-major ([bq, bk]) and contract over bq — avoids sublane<->lane
+    # relayouts of the per-row lse/delta vectors
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # [bq, bk]
+    key_idx = pl.program_id(1) * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(key_idx < kv_len, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0][:, :1])  # [bq, bk]
+    # zero padded tail queries: their lse rows are garbage
+    q_idx = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    p = jnp.where(q_idx < q_len, p, 0.0)
+
+    do = do_ref[0].astype(jnp.float32)  # [bq, d]
+    delta = jnp.sum(o_ref[0].astype(jnp.float32) * do, axis=-1, keepdims=True)  # [bq,1]
+    # dv[bk, d] = sum_bq p[bq, bk] * do[bq, d]
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # dp[bq, bk] = do @ v^T
+    dp = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - delta) * scale  # [bq, bk]
+    # dk[bk, d] = sum_bq ds[bq, bk] * q[bq, d]
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qi == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd(scale, block_q, block_k, res, g):
+    q, k, v, out, lse = res
+    do = g
+    B, H, S, D = q.shape
+    Skv = k.shape[2]
+    Sq_pad = pl.cdiv(S, block_q) * block_q
+    Skv_pad = pl.cdiv(Skv, block_k) * block_k
+    bh = B * H
+
+    def pad3(x, target):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, target - x.shape[2]), (0, 0)))
+        return x.reshape(bh, target, x.shape[3])
+
+    qp, kp, vp = pad3(q, Sq_pad), pad3(k, Skv_pad), pad3(v, Skv_pad)
+    op, dop = pad3(out, Sq_pad), pad3(do, Sq_pad)
+    # lse is already [bh, Sq_pad, LANES]
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=Skv, block_k=block_k),
+        grid=(bh, Sq_pad // block_q, Skv_pad // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, qi, ki: (b, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, Sq_pad, D), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, op, dop, lse)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_dkv_kernel, scale=scale, kv_len=Skv, q_len=S,
+            block_q=block_q, block_k=block_k,
+        ),
+        grid=(bh, Skv_pad // block_k, Sq_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, D), lambda b, ki, qi: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, ki, qi: (b, qi, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, D), lambda b, ki, qi: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, D), lambda b, ki, qi: (b, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, Skv_pad, D), k.dtype),
+            jax.ShapeDtypeStruct((bh, Skv_pad, D), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(qp, kp, vp, op, dop, lse)
+
+    dq = dq.reshape(B, H, Sq_pad, D)[:, :, :S]
+    dk = dk.reshape(B, H, Skv_pad, D)[:, :, :Skv]
+    dv = dv.reshape(B, H, Skv_pad, D)[:, :, :Skv]
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, scale, block_q, block_k):
+    out, _ = _fwd(q, k, v, scale, block_q, block_k)
+    return out
+
+
+def _flash_fwd(q, k, v, scale, block_q, block_k):
+    out, lse = _fwd(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
+
+
+_flash.defvjp(_flash_fwd, _bwd)
+
+
+def _pick_block(n: int, preferred: int, align: int) -> int:
+    """Largest aligned block ≤ preferred that isn't wasteful for tiny n."""
+    if n >= preferred:
+        return preferred
+    return max(align, pl.cdiv(n, align) * align)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    block_k: int = 512,
+) -> jnp.ndarray:
+    """Flash attention over [B, H, S, D], differentiable.
+
+    D should be lane-tileable (CogVideoX's 64 is fine). Block sizes clamp to
+    the padded sequence length for small inputs.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    block_q = _pick_block(q.shape[2], block_q, 128)
+    block_k = _pick_block(k.shape[2], block_k, 128)
+    return _flash(q, k, v, float(scale), int(block_q), int(block_k))
+
+
+def attention(q, k, v, scale=None, impl: str = "auto"):
+    """Dispatch: pallas flash on TPU, jnp reference elsewhere."""
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if impl == "flash":
+        return flash_attention(q, k, v, scale)
+    return mha_reference(q, k, v, scale)
