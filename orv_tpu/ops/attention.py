@@ -54,67 +54,121 @@ def mha_reference(q, k, v, scale: Optional[float] = None):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale, kv_len, block_k):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
+                *, kv_len, block_k, d_model):
+    """q is pre-scaled by sm_scale outside the kernel. v carries a ones
+    column at index d_model so the row-sum of p rides the PV matmul (MXU)
+    instead of a VPU reduce pass — the lanes past D are free anyway.
+    Tail-key masking runs only on the final KV block."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(ki == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q = q_ref[0]  # [bq, d]
     k = k_ref[0]  # [bk, d]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, bk]
+    )  # [bq, bk]
 
-    # mask padded tail keys (kv_len is static)
-    key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(key_idx < kv_len, s, NEG_INF)
+    if kv_len % block_k != 0:  # only the final KV block holds padded keys
+        key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        not_last = ki != nk - 1
+        s = jnp.where(jnp.logical_or(not_last, key_idx < kv_len), s, NEG_INF)
 
     m_prev = m_scr[:, :1]  # [bq, 1]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)  # [bq, 1]
     p = jnp.exp(s - m_new)  # [bq, bk]
 
-    l_new = alpha * l_scr[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+    # PV matmul also accumulates l via the ones column of v_ext
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     @pl.when(ki == nk - 1)
     def _finish():
-        l = l_scr[:, :1]
+        l = acc_scr[:, d_model:d_model + 1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:, :d_model] / l_safe).astype(o_ref.dtype)
         lse_ref[0] = jnp.broadcast_to(m_scr[:, :1] + jnp.log(l_safe), lse_ref.shape[1:])
 
 
-def _fwd(q, k, v, scale, block_q, block_k):
+def _fwd_kernel_static_max(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr,
+                           *, kv_len, block_k, d_model, static_max):
+    """Static-max variant: valid when logits are provably bounded (this DiT
+    qk-LayerNorms every head, so |s| <= |q||k|*scale ~ 8 << f32 exp range).
+    Skips the running-max reduce and the accumulator rescale — the two VPU
+    passes that dominate at head_dim 64. lse output is exact, so the
+    backward kernels are shared with the online-softmax path."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, bk]
+    if kv_len % block_k != 0:
+        key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        not_last = ki != nk - 1
+        s = jnp.where(jnp.logical_or(not_last, key_idx < kv_len), s, NEG_INF)
+
+    p = jnp.exp(s - static_max)
+    acc_scr[:] += jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        l = acc_scr[:, d_model:d_model + 1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:, :d_model] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(static_max + jnp.log(l_safe), lse_ref.shape[1:])
+
+
+def _fwd(q, k, v, scale, block_q, block_k, static_max=None):
     B, H, S, D = q.shape
     Skv = k.shape[2]
     Sq_pad = pl.cdiv(S, block_q) * block_q
     Skv_pad = pl.cdiv(Skv, block_k) * block_k
     bh = B * H
-    qp = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_pad - S), (0, 0))).reshape(bh, Sq_pad, D)
+    Dv = max(_round_up(D + 1, LANES), LANES)  # v + ones column, lane-aligned
+    qp = (jnp.pad(q, ((0, 0), (0, 0), (0, Sq_pad - S), (0, 0))) * jnp.asarray(scale, q.dtype)
+          ).reshape(bh, Sq_pad, D)
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_pad - Skv), (0, 0))).reshape(bh, Skv_pad, D)
     vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_pad - Skv), (0, 0))).reshape(bh, Skv_pad, D)
+    ones = jnp.ones((bh, Skv_pad, 1), dtype=v.dtype)
+    vp = jnp.concatenate([vp, ones, jnp.zeros((bh, Skv_pad, Dv - D - 1), v.dtype)], axis=-1)
 
     grid = (bh, Sq_pad // block_q, Skv_pad // block_k)
+    if static_max is None:
+        kernel = functools.partial(_fwd_kernel, kv_len=Skv, block_k=block_k, d_model=D)
+        scratch = [
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, Dv), jnp.float32),
+        ]
+    else:
+        kernel = functools.partial(
+            _fwd_kernel_static_max, kv_len=Skv, block_k=block_k, d_model=D,
+            static_max=float(static_max),
+        )
+        scratch = [pltpu.VMEM((block_q, Dv), jnp.float32)]
     out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, kv_len=Skv, block_k=block_k),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, block_k, Dv), lambda b, qi, ki: (b, ki, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
@@ -124,11 +178,7 @@ def _fwd(q, k, v, scale, block_q, block_k):
             jax.ShapeDtypeStruct((bh, Sq_pad, D), q.dtype),
             jax.ShapeDtypeStruct((bh, Sq_pad, LANES), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, D), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -142,6 +192,10 @@ def _fwd(q, k, v, scale, block_q, block_k):
     )(qp, kp, vp)
     out = out.reshape(B, H, Sq_pad, D)[:, :, :S]
     return out, lse  # lse stays [bh, Sq_pad, LANES] for the backward
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +283,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref, dv_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _bwd(scale, block_q, block_k, res, g):
+def _bwd(scale, block_q, block_k, static_max, res, g):
     q, k, v, out, lse = res
     do = g
     B, H, S, D = q.shape
@@ -304,14 +358,14 @@ def _bwd(scale, block_q, block_k, res, g):
     return dq, dk, dv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash(q, k, v, scale, block_q, block_k):
-    out, _ = _fwd(q, k, v, scale, block_q, block_k)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash(q, k, v, scale, block_q, block_k, static_max):
+    out, _ = _fwd(q, k, v, scale, block_q, block_k, static_max)
     return out
 
 
-def _flash_fwd(q, k, v, scale, block_q, block_k):
-    out, lse = _fwd(q, k, v, scale, block_q, block_k)
+def _flash_fwd(q, k, v, scale, block_q, block_k, static_max):
+    out, lse = _fwd(q, k, v, scale, block_q, block_k, static_max)
     return out, (q, k, v, out, lse)
 
 
@@ -330,8 +384,9 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: Optional[float] = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 2048,
+    static_max: Optional[float] = None,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, S, D], differentiable.
 
@@ -342,13 +397,16 @@ def flash_attention(
         scale = 1.0 / math.sqrt(q.shape[-1])
     block_q = _pick_block(q.shape[2], block_q, 128)
     block_k = _pick_block(k.shape[2], block_k, 128)
-    return _flash(q, k, v, float(scale), int(block_q), int(block_k))
+    return _flash(q, k, v, float(scale), int(block_q), int(block_k), static_max)
 
 
-def attention(q, k, v, scale=None, impl: str = "auto"):
-    """Dispatch: pallas flash on TPU, jnp reference elsewhere."""
+def attention(q, k, v, scale=None, impl: str = "auto", static_max: Optional[float] = None):
+    """Dispatch: pallas flash on TPU, jnp reference elsewhere.
+
+    `static_max`: pass a bound on the attention logits to use the cheaper
+    static-max kernel (safe with qk-LayerNorm; the DiT uses 24.0)."""
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
     if impl == "flash":
-        return flash_attention(q, k, v, scale)
+        return flash_attention(q, k, v, scale, static_max=static_max)
     return mha_reference(q, k, v, scale)

@@ -1,0 +1,153 @@
+"""ControlDiT forward-path tests (tiny configs, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orv_tpu.models import ControlDiT, DiTConfig
+from orv_tpu.utils.embeddings import prepare_rotary_positional_embeddings
+
+TINY = dict(
+    num_attention_heads=4, attention_head_dim=16, num_layers=2,
+    text_embed_dim=32, time_embed_dim=64, max_text_seq_length=8,
+    sample_width=16, sample_height=8,
+)
+
+
+def _data(B=2, F=3, C=32, H=8, W=16, text=8, text_dim=32):
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, F, C, H, W))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (B, text, text_dim))
+    t = jnp.array([100] * B)
+    return x, enc, t
+
+
+def test_scratch_3chunk_forward():
+    """3-chunk regime (scratch models): text not modulated, video-only attn."""
+    cfg = DiTConfig(in_channels=32, out_channels=16,
+                    modulate_encoder_hidden_states=False, **TINY)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    x, enc, t = _data()
+    acts = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 7))
+    params = model.init(jax.random.PRNGKey(0), x, enc, t, actions=acts)
+    out, mask, recon = model.apply(params, x, enc, t, actions=acts)
+    assert out.shape == (2, 3, 16, 8, 16)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_finetune_6chunk_with_rope():
+    cfg = DiTConfig(in_channels=32, out_channels=16,
+                    modulate_encoder_hidden_states=True,
+                    use_rotary_positional_embeddings=True, **TINY)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    x, enc, t = _data()
+    rope = prepare_rotary_positional_embeddings(
+        height=8 * 8, width=16 * 8, num_frames=3, attention_head_dim=16
+    )
+    params = model.init(jax.random.PRNGKey(0), x, enc, t, image_rotary_emb=rope)
+    out, _, _ = model.apply(params, x, enc, t, image_rotary_emb=rope)
+    assert out.shape == (2, 3, 16, 8, 16)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_visual_guidance_zero_init_noop():
+    """Control injection is zero-gated at init (reference _set_zeros)."""
+    cfg = DiTConfig(in_channels=32, out_channels=16, visual_guidance=True,
+                    num_control_keys=2, modulate_encoder_hidden_states=True, **TINY)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    x, enc, t = _data()
+    d = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    l = jax.random.normal(jax.random.PRNGKey(4), x.shape)
+    params = model.init(jax.random.PRNGKey(0), x, enc, t, depths=d, labels=l)
+    with_ctrl, _, _ = model.apply(params, x, enc, t, depths=d, labels=l)
+    without, _, _ = model.apply(params, x, enc, t)
+    np.testing.assert_allclose(np.asarray(with_ctrl), np.asarray(without), atol=1e-6)
+
+
+def test_control_count_mismatch_raises():
+    cfg = DiTConfig(in_channels=32, out_channels=16, visual_guidance=True,
+                    num_control_keys=2, **TINY)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    x, enc, t = _data()
+    d = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    with pytest.raises(ValueError):
+        model.init(jax.random.PRNGKey(0), x, enc, t, depths=d)  # only 1 of 2
+
+
+def test_multiview_forward():
+    cfg = DiTConfig(in_channels=32, out_channels=16, multiview=True, max_n_view=2,
+                    modulate_encoder_hidden_states=True, **TINY)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    V, F = 2, 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, V * F, 32, 8, 16))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32))
+    t = jnp.array([100, 200])
+    params = model.init(jax.random.PRNGKey(0), x, enc, t, num_views=V)
+    out, _, _ = model.apply(params, x, enc, t, num_views=V)
+    assert out.shape == (2, V * F, 16, 8, 16)
+    # mv params exist and proj_out is zero-init
+    mv = params["params"]["blocks"]["mv_block"]
+    assert float(jnp.abs(mv["proj_out"]["kernel"]).max()) == 0.0
+
+
+def test_action_mask_and_recon_training_mode():
+    cfg = DiTConfig(in_channels=32, out_channels=16, recon_action=True, **TINY)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    B = 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, 3, 32, 8, 16))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 32))
+    t = jnp.array([100] * B)
+    acts = jax.random.normal(jax.random.PRNGKey(2), (B, 8, 7))
+    params = model.init(jax.random.PRNGKey(0), x, enc, t, actions=acts)
+    out, mask, recon = model.apply(
+        params, x, enc, t, actions=acts, deterministic=False,
+        rngs={"action_mask": jax.random.PRNGKey(7)},
+    )
+    assert mask.shape == (B,)
+    assert recon is not None and recon.shape == (B, 8, 7)
+    # deterministic mode: no masking, no recon
+    _, mask_d, recon_d = model.apply(params, x, enc, t, actions=acts)
+    assert not bool(mask_d.any())
+    assert recon_d is None
+
+
+def test_patch_size_t_path():
+    cfg = DiTConfig(in_channels=32, out_channels=16, patch_size_t=2,
+                    use_rotary_positional_embeddings=True, **TINY)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    F = 4  # divisible by patch_size_t
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, F, 32, 8, 16))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32))
+    t = jnp.array([100, 200])
+    rope = prepare_rotary_positional_embeddings(
+        height=64, width=128, num_frames=F, patch_size_t=2, attention_head_dim=16
+    )
+    params = model.init(jax.random.PRNGKey(0), x, enc, t, image_rotary_emb=rope)
+    out, _, _ = model.apply(params, x, enc, t, image_rotary_emb=rope)
+    assert out.shape == (2, F, 16, 8, 16)
+
+
+def test_scanned_blocks_have_stacked_params():
+    cfg = DiTConfig(in_channels=16, out_channels=16, **TINY)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    x, enc, t = _data(C=16)
+    params = model.init(jax.random.PRNGKey(0), x, enc, t)
+    k = params["params"]["blocks"]["block"]["attn1"]["to_q"]["kernel"]
+    assert k.shape[0] == cfg.num_layers  # stacked along layer axis
+
+
+def test_grad_flows():
+    cfg = DiTConfig(in_channels=16, out_channels=16, **TINY)
+    model = ControlDiT(cfg, dtype=jnp.float32, remat=True)
+    x, enc, t = _data(C=16)
+    params = model.init(jax.random.PRNGKey(0), x, enc, t)
+
+    def loss(p):
+        out, _, _ = model.apply(p, x, enc, t)
+        return jnp.mean(out.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(params)
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, b: a + jnp.sum(b.astype(jnp.float32) ** 2), g, 0.0
+    )
+    assert bool(jnp.isfinite(gnorm)) and float(gnorm) > 0
