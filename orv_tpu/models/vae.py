@@ -1,0 +1,337 @@
+"""Causal 3D VAE (CogVideoX family), TPU-native.
+
+Re-implementation of the AutoencoderKLCogVideoX architecture the reference
+depends on for all latent IO (SURVEY.md L3; reference loads it via
+diffusers at train_…sft.py:331-339 and encodes offline in
+encode_dataset.py:793-927). Semantics reproduced:
+
+  * causal conv3d: temporal front-pad replicates the FIRST frame
+    (k_t - 1 copies) — this is why clips obey the 8n+1 frame rule and the
+    first latent frame is "single" (dataset.py vae_has_first_single_frame)
+  * temporal compression x4 via two "keep-first-frame, avg-pool-pairs"
+    downsamples; spatial x8 via three stride-2 convs
+  * decoder resnets normalize with SpatialNorm3D conditioned on the latent
+    (zq), nearest-upsampled per the odd-first-frame split
+  * encode returns MOMENTS [B, 2C, T', H', W'] (mean ‖ logvar), matching
+    the on-disk latent convention (train_…sft.py:890-898)
+
+Layouts: public API is [B, C, T, H, W] (reference convention); internals
+are channels-last [B, T, H, W, C] for TPU conv efficiency. Weight mapping
+from torch: conv3d [O, I, kT, kH, kW] -> transpose(2, 3, 4, 1, 0).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    """CogVideoX-2b VAE config (HF vae/config.json values)."""
+
+    in_channels: int = 3
+    out_channels: int = 3
+    latent_channels: int = 16
+    block_out_channels: Tuple[int, ...] = (128, 256, 256, 512)
+    layers_per_block: int = 3
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    temporal_compression_ratio: int = 4
+    scaling_factor: float = 1.15258426
+    invert_scale_latents: bool = False
+
+    @property
+    def temporal_compress_level(self) -> int:
+        import math
+
+        return int(math.log2(self.temporal_compression_ratio))
+
+
+def _group_norm(x, scale, bias, groups, eps):
+    """GroupNorm over channels-last [..., C], f32 math."""
+    orig = x.dtype
+    x = x.astype(jnp.float32)
+    C = x.shape[-1]
+    g = x.reshape(x.shape[0], -1, groups, C // groups)
+    mean = g.mean(axis=(1, 3), keepdims=True)
+    var = g.var(axis=(1, 3), keepdims=True)
+    g = (g - mean) * jax.lax.rsqrt(var + eps)
+    x = g.reshape(x.shape)
+    x = x * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return x.astype(orig)
+
+
+class GroupNorm(nn.Module):
+    channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.channels,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), self.param_dtype)
+        return _group_norm(x, scale, bias, self.groups, self.eps)
+
+
+class CausalConv3d(nn.Module):
+    """conv3d with first-frame-replicate temporal front pad + zero spatial
+    SAME pad. x: [B, T, H, W, C]."""
+
+    features: int
+    kernel: Tuple[int, int, int] = (3, 3, 3)
+    strides: Tuple[int, int, int] = (1, 1, 1)
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel
+        if kt > 1:
+            first = jnp.repeat(x[:, :1], kt - 1, axis=1)
+            x = jnp.concatenate([first, x], axis=1)
+        ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        return nn.Conv(
+            self.features, self.kernel, strides=self.strides,
+            padding=((0, 0), (ph, ph), (pw, pw)),
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
+class SpatialNorm3D(nn.Module):
+    """Decoder norm conditioned on the latent zq (GroupNorm(f) * conv_y(zq)
+    + conv_b(zq)), zq nearest-resized with the odd-first-frame split."""
+
+    f_channels: int
+    zq_channels: int
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, f, zq):
+        def resize(z, t, h, w):
+            # nearest-neighbor to (t, h, w)
+            B, zt, zh, zw, C = z.shape
+            if (zt, zh, zw) != (t, h, w):
+                z = jax.image.resize(z, (B, t, h, w, C), method="nearest")
+            return z
+
+        T, H, W = f.shape[1], f.shape[2], f.shape[3]
+        if T > 1 and T % 2 == 1:
+            z_first = resize(zq[:, :1], 1, H, W)
+            z_rest = resize(zq[:, 1:], T - 1, H, W)
+            zq = jnp.concatenate([z_first, z_rest], axis=1)
+        else:
+            zq = resize(zq, T, H, W)
+        conv = lambda name: CausalConv3d(
+            self.f_channels, (1, 1, 1), dtype=self.dtype, param_dtype=self.param_dtype,
+            name=name,
+        )
+        norm_f = GroupNorm(self.f_channels, self.groups, self.eps,
+                           param_dtype=self.param_dtype, name="norm_layer")(f)
+        return norm_f * conv("conv_y")(zq) + conv("conv_b")(zq)
+
+
+class ResnetBlock3D(nn.Module):
+    in_channels: int
+    out_channels: int
+    spatial_norm_zq: bool = False
+    zq_channels: int = 16
+    groups: int = 32
+    eps: float = 1e-6
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, zq=None):
+        def norm(name, ch, h):
+            if self.spatial_norm_zq:
+                return SpatialNorm3D(ch, self.zq_channels, self.groups, self.eps,
+                                     self.dtype, self.param_dtype, name=name)(h, zq)
+            return GroupNorm(ch, self.groups, self.eps, self.param_dtype, name=name)(h)
+
+        h = norm("norm1", self.in_channels, x)
+        h = CausalConv3d(self.out_channels, (3, 3, 3), dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="conv1")(nn.silu(h))
+        h = norm("norm2", self.out_channels, h)
+        h = CausalConv3d(self.out_channels, (3, 3, 3), dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="conv2")(nn.silu(h))
+        if self.in_channels != self.out_channels:
+            x = CausalConv3d(self.out_channels, (1, 1, 1), dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="conv_shortcut")(x)
+        return x + h
+
+
+class Downsample3D(nn.Module):
+    """Spatial stride-2 conv (asymmetric (0,1) pad); optional temporal
+    keep-first + avg-pool-pairs compression."""
+
+    channels: int
+    compress_time: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if self.compress_time:
+            T = x.shape[1]
+            if T % 2 == 1 and T > 1:
+                first, rest = x[:, :1], x[:, 1:]
+                rest = 0.5 * (rest[:, 0::2] + rest[:, 1::2])
+                x = jnp.concatenate([first, rest], axis=1)
+            elif T > 1:
+                x = 0.5 * (x[:, 0::2] + x[:, 1::2])
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            self.channels, (1, 3, 3), strides=(1, 2, 2), padding="VALID",
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
+class Upsample3D(nn.Module):
+    """Nearest 2x spatial upsample + 3x3 conv; with compress_time, the
+    first frame upsamples spatially only and the rest also duplicate in
+    time (odd-length convention)."""
+
+    channels: int
+    compress_time: bool = False
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, C = x.shape
+
+        def up(z, t_scale):
+            b, t, h, w, c = z.shape
+            return jax.image.resize(z, (b, t * t_scale, h * 2, w * 2, c), method="nearest")
+
+        if self.compress_time:
+            if T > 1 and T % 2 == 1:
+                x = jnp.concatenate([up(x[:, :1], 1), up(x[:, 1:], 2)], axis=1)
+            elif T > 1:
+                x = up(x, 2)
+            else:
+                x = up(x, 1)
+        else:
+            x = up(x, 1)
+        return nn.Conv(
+            self.channels, (1, 3, 3), padding=((0, 0), (1, 1), (1, 1)),
+            dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
+class Encoder3D(nn.Module):
+    config: VAEConfig
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        ch = c.block_out_channels[0]
+        h = CausalConv3d(ch, (3, 3, 3), name="conv_in", **kw)(x)
+
+        for i, out_ch in enumerate(c.block_out_channels):
+            for j in range(c.layers_per_block):
+                h = ResnetBlock3D(
+                    ch if j == 0 else out_ch, out_ch, groups=c.norm_num_groups,
+                    eps=c.norm_eps, name=f"down_{i}_res_{j}", **kw,
+                )(h)
+            ch = out_ch
+            if i < len(c.block_out_channels) - 1:
+                h = Downsample3D(
+                    out_ch, compress_time=i < c.temporal_compress_level,
+                    name=f"down_{i}_downsample", **kw,
+                )(h)
+
+        for j in range(2):
+            h = ResnetBlock3D(ch, ch, groups=c.norm_num_groups, eps=c.norm_eps,
+                              name=f"mid_res_{j}", **kw)(h)
+        h = GroupNorm(ch, c.norm_num_groups, c.norm_eps, self.param_dtype, name="norm_out")(h)
+        return CausalConv3d(2 * c.latent_channels, (3, 3, 3), name="conv_out", **kw)(
+            nn.silu(h)
+        )
+
+
+class Decoder3D(nn.Module):
+    config: VAEConfig
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, z):
+        c = self.config
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        reversed_ch = tuple(reversed(c.block_out_channels))  # (512, 256, 256, 128)
+        ch = reversed_ch[0]
+        h = CausalConv3d(ch, (3, 3, 3), name="conv_in", **kw)(z)
+
+        for j in range(2):
+            h = ResnetBlock3D(ch, ch, spatial_norm_zq=True, zq_channels=c.latent_channels,
+                              groups=c.norm_num_groups, eps=c.norm_eps,
+                              name=f"mid_res_{j}", **kw)(h, z)
+
+        for i, out_ch in enumerate(reversed_ch):
+            for j in range(c.layers_per_block + 1):
+                h = ResnetBlock3D(
+                    ch if j == 0 else out_ch, out_ch, spatial_norm_zq=True,
+                    zq_channels=c.latent_channels, groups=c.norm_num_groups,
+                    eps=c.norm_eps, name=f"up_{i}_res_{j}", **kw,
+                )(h, z)
+            ch = out_ch
+            if i < len(reversed_ch) - 1:
+                h = Upsample3D(
+                    out_ch, compress_time=i < c.temporal_compress_level,
+                    name=f"up_{i}_upsample", **kw,
+                )(h)
+
+        h = SpatialNorm3D(ch, c.latent_channels, c.norm_num_groups, c.norm_eps,
+                          self.dtype, self.param_dtype, name="norm_out")(h, z)
+        return CausalConv3d(c.out_channels, (3, 3, 3), name="conv_out", **kw)(nn.silu(h))
+
+
+class CausalVAE(nn.Module):
+    """encode(video [B,C,T,H,W] in [-1,1]) -> moments [B,2C_lat,T',H',W'];
+    decode(latents [B,C_lat,T',H',W']) -> video. T must be 8n+1 (or a
+    multiple of the compression with the first-frame rule)."""
+
+    config: VAEConfig = VAEConfig()
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.encoder = Encoder3D(self.config, self.dtype, self.param_dtype)
+        self.decoder = Decoder3D(self.config, self.dtype, self.param_dtype)
+
+    def encode(self, video):
+        x = jnp.transpose(video, (0, 2, 3, 4, 1)).astype(self.dtype)  # -> BTHWC
+        moments = self.encoder(x)
+        return jnp.transpose(moments, (0, 4, 1, 2, 3)).astype(jnp.float32)
+
+    def decode(self, latents):
+        z = jnp.transpose(latents, (0, 2, 3, 4, 1)).astype(self.dtype)
+        video = self.decoder(z)
+        return jnp.transpose(video, (0, 4, 1, 2, 3)).astype(jnp.float32)
+
+    def __call__(self, video, rng=None):
+        """encode -> sample -> decode roundtrip (for tests)."""
+        moments = self.encode(video)
+        mean, logvar = jnp.split(moments, 2, axis=1)
+        if rng is not None:
+            z = mean + jnp.exp(0.5 * jnp.clip(logvar, -30, 20)) * jax.random.normal(
+                rng, mean.shape
+            )
+        else:
+            z = mean
+        return self.decode(z), moments

@@ -37,7 +37,12 @@ LANES = 128
 
 
 def _interpret() -> bool:
-    """Run Pallas in interpreter mode off-TPU (CPU test meshes)."""
+    """Run Pallas in interpreter mode off-TPU (CPU test meshes). Honors
+    jax_default_device overrides (tests steer to CPU while the axon TPU
+    backend stays registered)."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", "cpu") != "tpu"
     return jax.default_backend() != "tpu"
 
 
@@ -288,6 +293,10 @@ def _bwd(scale, block_q, block_k, static_max, res, g):
     do = g
     B, H, S, D = q.shape
     Skv = k.shape[2]
+    # the backward kernels keep q/k/v/o/do blocks + two f32 scratches live —
+    # cap blocks lower than the forward or VMEM overflows at 16MB
+    block_q = min(block_q, 512)
+    block_k = min(block_k, 1024)
     Sq_pad = pl.cdiv(S, block_q) * block_q
     Skv_pad = pl.cdiv(Skv, block_k) * block_k
     bh = B * H
@@ -298,7 +307,11 @@ def _bwd(scale, block_q, block_k, static_max, res, g):
 
     qp, kp, vp = pad3(q, Sq_pad), pad3(k, Skv_pad), pad3(v, Skv_pad)
     op, dop = pad3(out, Sq_pad), pad3(do, Sq_pad)
-    # lse is already [bh, Sq_pad, LANES]
+    # lse comes padded to the FORWARD's Sq_pad; align it to ours
+    if lse.shape[1] > Sq_pad:
+        lse = lse[:, :Sq_pad]
+    elif lse.shape[1] < Sq_pad:
+        lse = jnp.pad(lse, ((0, 0), (0, Sq_pad - lse.shape[1]), (0, 0)))
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, kv_len=Skv, block_k=block_k),

@@ -1,0 +1,110 @@
+"""Device mesh + sharding rules.
+
+TPU-native replacement for the reference's NCCL/Accelerate stack
+(SURVEY.md §2.3): instead of DDP wrappers and DeepSpeed ZeRO, we lay the
+devices out as a `jax.sharding.Mesh` with axes
+
+    dp    — data parallel (gradient psum over ICI)
+    fsdp  — parameter/optimizer-state sharding (ZeRO-3-style; XLA
+            inserts all-gathers around layers automatically)
+    tp    — tensor parallel (Megatron-style attention-head / FFN sharding
+            via kernel PartitionSpecs; absent in the reference, added
+            because >1-chip-per-replica is free on an ICI mesh)
+
+and let pjit/XLA place the collectives. Batch shards over (dp, fsdp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    dp: int = -1  # -1: all remaining devices
+    fsdp: int = 1
+    tp: int = 1
+
+    def resolve(self, n_devices: int) -> "MeshConfig":
+        dp = self.dp
+        if dp == -1:
+            dp = n_devices // (self.fsdp * self.tp)
+        if dp * self.fsdp * self.tp != n_devices:
+            raise ValueError(
+                f"mesh {dp}x{self.fsdp}x{self.tp} != {n_devices} devices"
+            )
+        return MeshConfig(dp=dp, fsdp=self.fsdp, tp=self.tp)
+
+
+def make_mesh(config: MeshConfig = MeshConfig(), devices=None, backend: Optional[str] = None) -> Mesh:
+    if devices is None:
+        devices = jax.devices(backend) if backend else jax.devices()
+    cfg = config.resolve(len(devices))
+    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.tp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+
+
+# ---------------------------------------------------------------------------
+# Parameter sharding rules
+# ---------------------------------------------------------------------------
+
+_TP_SHARD_OUT = ("to_q", "to_k", "to_v", "net_0_proj")  # column parallel
+_TP_SHARD_IN = ("to_out", "net_2")  # row parallel
+
+
+def _spec_for(path: tuple, shape: tuple, mesh: Mesh) -> P:
+    """Choose a PartitionSpec for one parameter.
+
+    - tp: attention qkv + ff-in kernels column-parallel, out-projections
+      row-parallel (their matmuls then produce partial sums that XLA
+      reduces over 'tp').
+    - fsdp: shard the largest remaining axis divisible by the fsdp size.
+    - scanned ('blocks') params have a leading layer axis — never sharded
+      (it is scanned over), so axis search starts at 1 for those.
+    """
+    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+    tp_size = mesh.shape["tp"]
+    fsdp_size = mesh.shape["fsdp"]
+    spec = [None] * len(shape)
+    start = 1 if "blocks" in names and len(shape) > 1 else 0
+
+    if tp_size > 1 and "kernel" in names and len(shape) >= 2:
+        parent = names[-2] if len(names) >= 2 else ""
+        if any(t in parent for t in _TP_SHARD_OUT) and shape[-1] % tp_size == 0:
+            spec[-1] = "tp"
+        elif any(t in parent for t in _TP_SHARD_IN) and shape[-2] % tp_size == 0:
+            spec[-2] = "tp"
+
+    if fsdp_size > 1:
+        # largest free axis divisible by fsdp
+        order = sorted(range(start, len(shape)), key=lambda i: -shape[i])
+        for i in order:
+            if spec[i] is None and shape[i] % fsdp_size == 0 and shape[i] >= fsdp_size:
+                spec[i] = "fsdp"
+                break
+    return P(*spec)
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """PartitionSpec pytree for a param (or optimizer-state) pytree."""
+
+    def assign(path, leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, _spec_for(path, leaf.shape, mesh))
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch shards over the combined (dp, fsdp) axes."""
+    return NamedSharding(mesh, P(("dp", "fsdp")))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

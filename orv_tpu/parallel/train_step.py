@@ -1,0 +1,251 @@
+"""Sharded training step: v-prediction diffusion loss + action recon.
+
+Loss semantics replicate the reference train loop exactly
+(train_cogvideox_control_to_video_sft.py:844-1107):
+
+  latents   = sample(moments) * vae_scaling_factor
+  x_t       = add_noise(latents, eps, t)
+  model_in  = concat([x_t, image_latents], channel)     (image-CFG dropout 5%)
+  v_pred    = model(model_in, ...)
+  x0_pred   = sqrt(abar)*x_t - sqrt(1-abar)*v_pred       (== get_velocity swap)
+  loss      = mean_b[ mean_tokens( w_t * (x0_pred - latents)^2 [frame_mask] ) ]
+              + 0.4*rot + 5*pos + 1*grip action-recon losses over ~action_mask
+
+The step is one jitted function over the mesh: batch sharded on
+(dp, fsdp), params sharded per `param_shardings`, gradient reduction and
+FSDP gathers inserted by XLA.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from orv_tpu.schedulers.scheduling import DiffusionSchedule, add_noise, loss_weights, pred_x0_from_v
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def make_lr_schedule(
+    name: str = "cosine_with_restarts",
+    learning_rate: float = 2e-4,
+    warmup_steps: int = 1000,
+    total_steps: int = 20000,
+    num_cycles: int = 1,
+    power: float = 1.0,
+):
+    """HF-diffusers-compatible LR schedules (reference train config
+    base_train.yaml: cosine_with_restarts, warmup 1000)."""
+    warmup = optax.linear_schedule(0.0, learning_rate, max(1, warmup_steps))
+    decay_steps = max(1, total_steps - warmup_steps)
+    if name == "constant":
+        main = optax.constant_schedule(learning_rate)
+    elif name == "linear":
+        main = optax.linear_schedule(learning_rate, 0.0, decay_steps)
+    elif name == "cosine":
+        main = optax.cosine_decay_schedule(learning_rate, decay_steps)
+    elif name == "cosine_with_restarts":
+        # HF get_cosine_with_hard_restarts_schedule_with_warmup semantics:
+        # restarts at cycle boundaries, exactly 0 at/after the end.
+        def main(step):
+            progress = step / decay_steps
+            cyc = jnp.cos(jnp.pi * ((num_cycles * progress) % 1.0))
+            val = jnp.maximum(0.0, 0.5 * (1.0 + cyc))
+            return learning_rate * jnp.where(progress >= 1.0, 0.0, val)
+    elif name == "polynomial":
+        main = optax.polynomial_schedule(learning_rate, 0.0, power, decay_steps)
+    else:
+        raise ValueError(f"unknown lr scheduler {name}")
+    return optax.join_schedules([warmup, main], [warmup_steps])
+
+
+def make_optimizer(
+    learning_rate_schedule,
+    optimizer: str = "adamw",
+    beta1: float = 0.9,
+    beta2: float = 0.95,
+    epsilon: float = 1e-8,
+    weight_decay: float = 1e-3,
+    max_grad_norm: float = 1.0,
+    grad_accum_steps: int = 1,
+):
+    if optimizer not in ("adam", "adamw"):
+        raise ValueError(f"unsupported optimizer {optimizer} (adam/adamw)")
+    tx = optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(
+            learning_rate_schedule, b1=beta1, b2=beta2, eps=epsilon,
+            weight_decay=weight_decay if optimizer == "adamw" else 0.0,
+        ),
+    )
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
+    return tx
+
+
+def sample_from_moments(moments: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+    """DiagonalGaussianDistribution.sample(): moments [B, 2C, ...] ->
+    latents [B, C, ...] (logvar clamped to [-30, 20])."""
+    mean, logvar = jnp.split(moments.astype(jnp.float32), 2, axis=1)
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar)
+    return mean + std * jax.random.normal(rng, mean.shape, dtype=jnp.float32)
+
+
+def _smooth_l1(x, y):
+    d = jnp.abs(x - y)
+    return jnp.where(d < 1.0, 0.5 * d * d, d - 0.5)
+
+
+def compute_action_loss(actions, recon, mask, weights=(0.4, 5.0, 1.0)):
+    """Reference compute_action_loss (cogvideox_control.py:690-713):
+    rot = 1 - mean cos(delta euler); pos/grip smooth-L1; grip through
+    sigmoid. `mask` selects batch entries whose actions were NOT CFG-masked.
+    Implemented with weighted means so masking stays shape-static."""
+    mask_f = mask.astype(jnp.float32)
+    denom = jnp.maximum(mask_f.sum(), 1.0)
+    actions = actions.astype(jnp.float32)
+    recon = recon.astype(jnp.float32)
+
+    def masked_mean(x):  # x: [B, F, K]
+        per_b = jnp.mean(x, axis=tuple(range(1, x.ndim)))
+        return (per_b * mask_f).sum() / denom
+
+    rot = 1.0 - masked_mean(jnp.cos(recon[..., 3:6] - actions[..., 3:6]))
+    pos = masked_mean(_smooth_l1(recon[..., :3], actions[..., :3]))
+    grip = masked_mean(_smooth_l1(jax.nn.sigmoid(recon[..., -1]), actions[..., -1]))
+    return weights[0] * rot, weights[1] * pos, weights[2] * grip
+
+
+def diffusion_loss(
+    model_apply: Callable,
+    params: Any,
+    batch: Dict[str, jnp.ndarray],
+    schedule: DiffusionSchedule,
+    rng: jax.Array,
+    vae_scaling_factor: float = 1.15258426,
+    noised_image_dropout: float = 0.05,
+    recon_action: bool = False,
+    num_views: int = 1,
+    image_rotary_emb=None,
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """One loss evaluation. batch keys (all [B, ...], layouts match the
+    reference collate): 'latents' (moments [B,2C,F,H,W]), 'image_latents'
+    (moments, F_img frames), 'prompt_embeds', optional 'actions',
+    'latents_depth'/'latents_label' (moments), optional 'frame_mask' [F]."""
+    r_lat, r_img, r_noise, r_t, r_drop, r_mask, r_cond = jax.random.split(rng, 7)
+
+    lat = sample_from_moments(batch["latents"], r_lat) * vae_scaling_factor
+    lat = lat.transpose(0, 2, 1, 3, 4)  # [B, F, C, H, W]
+    img = sample_from_moments(batch["image_latents"], r_img) * vae_scaling_factor
+    img = img.transpose(0, 2, 1, 3, 4)
+
+    B, F = lat.shape[0], lat.shape[1]
+    # zero-pad image latents to video length
+    pad = jnp.zeros((B, F - img.shape[1], *img.shape[2:]), img.dtype)
+    img = jnp.concatenate([img, pad], axis=1)
+    # image-CFG dropout (whole-batch, like the reference's python-level rand)
+    drop = jax.random.uniform(r_drop, ()) < noised_image_dropout
+    img = jnp.where(drop, jnp.zeros_like(img), img)
+
+    noise = jax.random.normal(r_noise, lat.shape, dtype=lat.dtype)
+    t = jax.random.randint(r_t, (B,), 0, schedule.num_train_timesteps)
+    noisy = add_noise(schedule, lat, noise, t)
+    model_in = jnp.concatenate([noisy, img], axis=2)  # [B, F, 2C, H, W]
+
+    depths = labels = None
+    if batch.get("latents_depth") is not None:
+        d = sample_from_moments(batch["latents_depth"], r_cond) * vae_scaling_factor
+        d = d.transpose(0, 2, 1, 3, 4)
+        depths = jnp.concatenate([d, d], axis=2)
+    if batch.get("latents_label") is not None:
+        l = sample_from_moments(batch["latents_label"], jax.random.fold_in(r_cond, 1))
+        l = (l * vae_scaling_factor).transpose(0, 2, 1, 3, 4)
+        labels = jnp.concatenate([l, l], axis=2)
+
+    actions = batch.get("actions")
+    v_pred, is_action_mask, actions_recon = model_apply(
+        params,
+        model_in,
+        batch["prompt_embeds"],
+        t,
+        actions=actions,
+        depths=depths,
+        labels=labels,
+        image_rotary_emb=image_rotary_emb,
+        num_views=num_views,
+        deterministic=False,
+        rngs={"action_mask": r_mask},
+    )
+
+    x0_pred = pred_x0_from_v(schedule, v_pred.astype(jnp.float32), noisy, t)
+    w = loss_weights(schedule, t).reshape(B, *([1] * (lat.ndim - 1)))
+    sq = w * (x0_pred - lat) ** 2
+    frame_mask = batch.get("frame_mask")
+    if frame_mask is not None:
+        fm = frame_mask.reshape(1, -1, 1, 1, 1).astype(jnp.float32)
+        per_b = (sq * fm).reshape(B, -1).sum(1) / (fm.sum() * sq[0].size / F)
+    else:
+        per_b = sq.reshape(B, -1).mean(1)
+    loss = per_b.mean()
+
+    metrics = {"diffusion_loss": loss}
+    if recon_action and actions is not None and actions_recon is not None:
+        rot, pos, grip = compute_action_loss(actions, actions_recon, ~is_action_mask)
+        loss = loss + rot + pos + grip
+        metrics.update({"rot_loss": rot, "pos_loss": pos, "grip_loss": grip})
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(
+    model_apply: Callable,
+    tx: optax.GradientTransformation,
+    schedule: DiffusionSchedule,
+    mesh=None,
+    donate: bool = True,
+    fold_rng: bool = True,
+    **loss_kwargs,
+):
+    """Build the jitted sharded train step. With a mesh, batch shards over
+    (dp, fsdp) and params/opt-state follow `param_shardings`; XLA inserts
+    the gradient psum (reference: DDP all-reduce) and FSDP all-gathers.
+    `fold_rng=False` keeps the per-step noise fixed (deterministic-descent
+    tests)."""
+
+    def step_fn(state: TrainState, batch, rng):
+        if fold_rng:
+            rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: diffusion_loss(model_apply, p, batch, schedule, rng, **loss_kwargs),
+            has_aux=True,
+        )(state.params)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = gnorm
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    from orv_tpu.parallel.mesh import batch_sharding, param_shardings, replicated
+
+    def wrapped(state, batch, rng):
+        bs = batch_sharding(mesh)
+        batch = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(x, bs), batch
+        )
+        return step_fn(state, batch, rng)
+
+    return jax.jit(wrapped, donate_argnums=(0,) if donate else ())

@@ -1,0 +1,91 @@
+"""End-to-end sampler tests (tiny DiT, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orv_tpu.models import ControlDiT, DiTConfig
+from orv_tpu.pipelines.sample import (
+    SamplerConfig, make_sampler, prepare_control_latents, prepare_image_latents,
+)
+from orv_tpu.schedulers import make_schedule
+
+CFG = DiTConfig(
+    num_attention_heads=4, attention_head_dim=16, num_layers=2,
+    in_channels=32, out_channels=16, text_embed_dim=32, time_embed_dim=64,
+    max_text_seq_length=8, sample_width=16, sample_height=8,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = ControlDiT(CFG, dtype=jnp.float32)
+    B, F, C, H, W = 1, 3, 16, 8, 16
+    x = jnp.zeros((B, F, 2 * C, H, W))
+    enc = jnp.zeros((B, 8, 32))
+    acts = jnp.zeros((B, 8, 7))
+    params = model.init(jax.random.PRNGKey(0), x, enc, jnp.zeros((B,), jnp.int32),
+                        actions=acts)
+    return model, params
+
+
+def test_prepare_image_latents_pads_and_scales():
+    moments = jnp.ones((2, 32, 1, 8, 16))  # [B, 2C, F_img=1, H, W]
+    out = prepare_image_latents(moments, num_latent_frames=3,
+                                rng=jax.random.PRNGKey(0), scaling_factor=2.0)
+    assert out.shape == (2, 3, 16, 8, 16)
+    # frames beyond the reference image are zero
+    np.testing.assert_array_equal(np.asarray(out[:, 1:]), 0.0)
+    assert np.abs(np.asarray(out[:, 0])).max() > 0
+
+
+def test_prepare_control_latents_duplicates_channels():
+    moments = jnp.ones((2, 32, 3, 8, 16))
+    out = prepare_control_latents(moments, jax.random.PRNGKey(0))
+    assert out.shape == (2, 3, 32, 8, 16)
+    np.testing.assert_allclose(np.asarray(out[:, :, :16]), np.asarray(out[:, :, 16:]))
+
+
+@pytest.mark.parametrize("scheduler", ["dpm", "ddim"])
+def test_full_denoise_runs(setup, scheduler):
+    model, params = setup
+    sched = make_schedule()
+    sampler = make_sampler(
+        model.apply, sched,
+        SamplerConfig(num_inference_steps=4, scheduler=scheduler, guidance_scale=1.0),
+    )
+    B, F, C, H, W = 1, 3, 16, 8, 16
+    rng = jax.random.PRNGKey(0)
+    lat = jax.random.normal(rng, (B, F, C, H, W))
+    img = jnp.zeros((B, F, C, H, W))
+    enc = jnp.zeros((B, 8, 32))
+    acts = jnp.zeros((B, 8, 7))
+    out = jax.jit(sampler, static_argnames=("num_views",))(
+        params, lat, img, enc, jax.random.PRNGKey(1), actions=acts
+    )
+    assert out.shape == (B, F, C, H, W)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_cfg_doubles_batch_and_differs():
+    # 6-chunk regime: text participates in attention, so CFG must matter.
+    # (In the 3-chunk scratch regime text is inert by design and CFG on
+    # text is a no-op — reference behavior.)
+    import dataclasses
+    cfg6 = dataclasses.replace(CFG, modulate_encoder_hidden_states=True)
+    model = ControlDiT(cfg6, dtype=jnp.float32)
+    sched = make_schedule()
+    B, F, C, H, W = 1, 3, 16, 8, 16
+    lat = jax.random.normal(jax.random.PRNGKey(0), (B, F, C, H, W))
+    img = jnp.zeros((B, F, C, H, W))
+    enc = jax.random.normal(jax.random.PRNGKey(2), (B, 8, 32))
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((B, F, 2 * C, H, W)), enc,
+                        jnp.zeros((B,), jnp.int32))
+    common = dict(num_inference_steps=3, scheduler="ddim")
+    s_cfg = make_sampler(model.apply, sched, SamplerConfig(guidance_scale=6.0, **common))
+    s_plain = make_sampler(model.apply, sched, SamplerConfig(guidance_scale=1.0, **common))
+    o1 = s_cfg(params, lat, img, enc, jax.random.PRNGKey(1))
+    o2 = s_plain(params, lat, img, enc, jax.random.PRNGKey(1))
+    assert o1.shape == o2.shape == (B, F, C, H, W)
+    assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-6

@@ -1,0 +1,114 @@
+"""Sharded train-step tests on the 8-device CPU mesh (dp x fsdp x tp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orv_tpu.models import ControlDiT, DiTConfig
+from orv_tpu.parallel import (
+    MeshConfig, TrainState, make_mesh, make_optimizer, make_lr_schedule,
+    make_train_step, param_shardings,
+)
+from orv_tpu.parallel.mesh import batch_sharding
+from orv_tpu.schedulers import make_schedule
+
+CFG = DiTConfig(
+    num_attention_heads=4, attention_head_dim=16, num_layers=2,
+    in_channels=32, out_channels=16, text_embed_dim=32, time_embed_dim=64,
+    max_text_seq_length=8, sample_width=16, sample_height=8, recon_action=True,
+)
+
+
+def _batch(B=8, F=3, C=16, H=8, W=16):
+    k = jax.random.PRNGKey(0)
+    return {
+        "latents": jax.random.normal(k, (B, 2 * C, F, H, W)),
+        "image_latents": jax.random.normal(k, (B, 2 * C, 1, H, W)),
+        "prompt_embeds": jax.random.normal(k, (B, 8, 32)),
+        "actions": jax.random.normal(k, (B, F * 4 - 4, 7)) * 0.1,
+    }
+
+
+def _setup(mesh=None, accum=1):
+    model = ControlDiT(CFG, dtype=jnp.float32)
+    sched = make_schedule()
+    b = _batch()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "action_mask": jax.random.PRNGKey(1)},
+        b["latents"][:, :32].transpose(0, 2, 1, 3, 4),
+        b["prompt_embeds"], jnp.zeros((8,), jnp.int32), actions=b["actions"],
+        deterministic=False,
+    )
+    lr = make_lr_schedule(total_steps=100, warmup_steps=0)
+    tx = make_optimizer(lr, grad_accum_steps=accum)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    step = make_train_step(model.apply, tx, sched, mesh=mesh, recon_action=True,
+                           fold_rng=False)
+    return state, step, b
+
+
+def test_single_device_step_decreases_loss():
+    state, step, batch = _setup()
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch, rng)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # same batch: must overfit quickly
+    assert float(m["grad_norm"]) > 0
+
+
+def test_mesh_sharded_step():
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2), backend="cpu")
+    state, step, batch = _setup(mesh=mesh)
+    shardings = param_shardings(state.params, mesh)
+    state = TrainState(
+        step=jax.device_put(state.step),
+        params=jax.device_put(state.params, shardings),
+        opt_state=state.opt_state,
+    )
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    rng = jax.random.PRNGKey(0)
+    state, m1 = step(state, batch, rng)
+    state, m2 = step(state, batch, rng)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert float(m2["loss"]) < float(m1["loss"])
+
+
+def test_tp_shards_attention_kernels():
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2), backend="cpu")
+    model = ControlDiT(CFG, dtype=jnp.float32)
+    b = _batch()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "action_mask": jax.random.PRNGKey(1)},
+        b["latents"][:, :32].transpose(0, 2, 1, 3, 4), b["prompt_embeds"],
+        jnp.zeros((8,), jnp.int32), actions=b["actions"], deterministic=False,
+    )
+    sh = param_shardings(params, mesh)
+    qk = sh["params"]["blocks"]["block"]["attn1"]["to_q"]["kernel"].spec
+    assert "tp" in tuple(qk)
+    out = sh["params"]["blocks"]["block"]["attn1"]["to_out"]["kernel"].spec
+    assert out[-2] == "tp" or out[1] == "tp"
+
+
+def test_grad_accumulation():
+    state, step, batch = _setup(accum=2)
+    rng = jax.random.PRNGKey(1)
+    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
+    state, _ = step(state, batch, rng)
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))  # not applied yet
+    state, _ = step(state, batch, rng)
+    p2 = jax.tree_util.tree_leaves(state.params)[0]
+    assert np.abs(np.asarray(p2) - np.asarray(p0)).max() > 0  # applied after 2
+
+
+def test_lr_schedule_shapes():
+    lr = make_lr_schedule("cosine_with_restarts", 2e-4, 10, 100)
+    assert float(lr(0)) == 0.0
+    assert abs(float(lr(10)) - 2e-4) < 1e-9
+    assert float(lr(100)) == 0.0
+    assert float(lr(55)) > 0  # mid-cycle

@@ -1,0 +1,74 @@
+"""Causal 3D VAE: shape laws, causality, and roundtrip (tiny config, CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orv_tpu.models.vae import CausalVAE, VAEConfig
+
+TINY = VAEConfig(
+    block_out_channels=(8, 16, 16, 32), layers_per_block=1,
+    norm_num_groups=4, latent_channels=4,
+)
+
+
+@pytest.fixture(scope="module")
+def vae_and_params():
+    vae = CausalVAE(TINY, dtype=jnp.float32)
+    x = jnp.zeros((1, 3, 9, 32, 32))
+    params = vae.init(jax.random.PRNGKey(0), x)
+    return vae, params
+
+
+def test_encode_shape_8n_plus_1(vae_and_params):
+    vae, params = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 9, 32, 32))
+    moments = vae.apply(params, x, method=vae.encode)
+    # 9 frames -> (9-1)/4+1 = 3 latent frames; 32 -> 4 spatial; 2*latent ch
+    assert moments.shape == (1, 8, 3, 4, 4)
+
+
+def test_decode_shape(vae_and_params):
+    vae, params = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 3, 4, 4))
+    video = vae.apply(params, z, method=vae.decode)
+    assert video.shape == (1, 3, 9, 32, 32)
+
+
+def test_single_frame(vae_and_params):
+    """Reference images are encoded as single frames (8n+1 with n=0)."""
+    vae, params = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 3, 1, 32, 32))
+    m = vae.apply(params, x, method=vae.encode)
+    assert m.shape == (1, 8, 1, 4, 4)
+    y = vae.apply(params, m[:, :4], method=vae.decode)
+    assert y.shape == (1, 3, 1, 32, 32)
+
+
+def test_causal_conv_is_causal():
+    """CausalConv3d: output frame i must not depend on input frames > i.
+    (The full VAE is only conv-causal — GroupNorm statistics are global,
+    matching the reference architecture.)"""
+    from orv_tpu.models.vae import CausalConv3d
+
+    conv = CausalConv3d(4, (3, 3, 3), dtype=jnp.float32)
+    x1 = jax.random.normal(jax.random.PRNGKey(4), (1, 6, 8, 8, 3))
+    params = conv.init(jax.random.PRNGKey(0), x1)
+    x2 = x1.at[:, 4:].set(jax.random.normal(jax.random.PRNGKey(5), (1, 2, 8, 8, 3)))
+    y1 = conv.apply(params, x1)
+    y2 = conv.apply(params, x2)
+    np.testing.assert_allclose(np.asarray(y1[:, :4]), np.asarray(y2[:, :4]), atol=1e-6)
+    # and the first frame sees only itself (replicate front pad)
+    x3 = x1.at[:, 1:].set(0.0)
+    y3 = conv.apply(params, x3)
+    np.testing.assert_allclose(np.asarray(y3[:, 0]), np.asarray(conv.apply(params, x1[:, :1])[:, 0]), atol=1e-6)
+
+
+def test_roundtrip_runs_and_is_finite(vae_and_params):
+    vae, params = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(6), (1, 3, 9, 32, 32)) * 0.5
+    y, moments = vae.apply(params, x, rngs=None)
+    assert y.shape == x.shape
+    assert bool(jnp.all(jnp.isfinite(y)))
+    assert bool(jnp.all(jnp.isfinite(moments)))
