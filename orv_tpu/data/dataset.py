@@ -1,0 +1,426 @@
+"""Robot-episode datasets feeding pre-encoded latents to training/eval.
+
+Re-design of the reference dataset layer (dataset.py:155-2150) with the
+same sampling semantics:
+
+  * annotation JSON per episode: {episode_id, texts, videos, state
+    [T, >=6], continuous_gripper_state [T], has_image_k}
+  * fixed-length slice extraction: windows of `sequence_length` frames at
+    stride `sequence_interval`, window starts every
+    start_frame_interval * sequence_interval frames; with
+    `vae_has_first_single_frame` one extra leading frame is prepended so
+    clips obey the causal-VAE 8n+1 rule (reference :490-525)
+  * actions: relative end-effector deltas from states
+    (accumulate=False step-wise), scaled by c_act_scaler=[20...20, 1]
+  * latents loaded from disk as MOMENTS (2x16ch); file naming
+    {episode:05d}_{start:02d}_{nframes:02d}[_view].npz (or reference .pt)
+
+On-disk layout (produced by orv_tpu.pipelines.encode_dataset):
+  data_root/annotations/{split}/*.json
+  data_root/{embeddings_folder}/{split}/{latents,image_latents,
+      depth_latents,label_latents,prompt_embeds}/<name>.npz
+
+Reference .pt tensors (torch.save) are read through torch-cpu when a .npz
+is absent, so datasets encoded by the reference pipeline remain usable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import random
+from concurrent.futures import ThreadPoolExecutor, as_completed
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from orv_tpu.data.rotation import relative_actions
+from orv_tpu.utils.logging import CONSOLE
+
+C_ACT_SCALER = np.array([20.0, 20.0, 20.0, 20.0, 20.0, 20.0, 1.0])
+
+
+@dataclasses.dataclass
+class DatasetConfig:
+    """Field names mirror the reference YAML dataset blocks
+    (config/base_train.yaml)."""
+
+    data_root: str = "./data"
+    split: str = "train"
+    num_samples: int = -1
+    sample_mode: str = "random"
+    seed: int = 42
+    camera_ids: Sequence[int] = (0,)
+    max_n_view: int = 1
+    n_view: Optional[int] = None
+    action_dim: int = 7
+    sequence_interval: int = 1
+    sequence_length: int = 16
+    sample_frames: int = 17
+    start_frame_interval: Any = 4  # int or {split: int}
+    video_size: Tuple[int, int] = (320, 480)
+    sample_size: Tuple[int, int] = (40, 60)
+    caption_column: str = "texts"
+    embeddings_folder: str = "embeddings_full"
+    annotations_folder: str = "annotations"
+    load_actions: bool = True
+    load_tensors: bool = True
+    slice_frame: bool = True
+    drop_last: bool = True
+    use_3dvae: bool = True
+    vae_has_first_single_frame: bool = True
+    use_cond: bool = False
+    filter_by_cond: bool = False
+    no_traj: bool = False
+    empty_prompt: bool = True
+    control_keys: Sequence[str] = ("depth", "label")
+    accumulate_action: bool = False
+
+    def start_interval(self) -> int:
+        if isinstance(self.start_frame_interval, dict):
+            return int(self.start_frame_interval[self.split])
+        return int(self.start_frame_interval)
+
+
+def _load_tensor_file(path_base: str) -> Optional[np.ndarray]:
+    """Load `<base>.npz` (ours) or `<base>.pt` (reference torch.save)."""
+    npz = path_base + ".npz"
+    if os.path.exists(npz):
+        with np.load(npz) as f:
+            return f[f.files[0]]
+    pt = path_base + ".pt"
+    if os.path.exists(pt):
+        import torch
+
+        t = torch.load(pt, map_location="cpu", weights_only=True)
+        return t.float().numpy()
+    return None
+
+
+class RobotDataset:
+    """Map-style dataset over fixed-length episode slices."""
+
+    def __init__(self, config: DatasetConfig):
+        self.config = config
+        self.c_act_scaler = C_ACT_SCALER[: config.action_dim].copy()
+        ann_dir = Path(config.data_root) / config.annotations_folder / config.split
+        self.ann_files = sorted(str(p) for p in ann_dir.glob("*.json"))
+        self._emb_dir = Path(config.data_root) / config.embeddings_folder / config.split
+        self._init_sequences()
+        CONSOLE.log(
+            f"RobotDataset[{config.split}]: {len(self.ann_files)} episodes, "
+            f"{len(self.samples)} samples"
+        )
+
+    # -- sample index ------------------------------------------------------
+
+    def _slice_episode(self, ann: Dict, ann_file: str) -> List[Dict]:
+        cfg = self.config
+        n_frames = len(ann["state"])
+        samples = []
+        if cfg.slice_frame:
+            start0 = cfg.sequence_interval if cfg.vae_has_first_single_frame else 0
+            stride = cfg.start_interval() * cfg.sequence_interval
+            for frame_i in range(start0, n_frames, stride):
+                frame_ids = list(
+                    range(frame_i, n_frames, cfg.sequence_interval)
+                )[: cfg.sequence_length]
+                if len(frame_ids) != cfg.sequence_length:
+                    continue
+                if cfg.vae_has_first_single_frame:
+                    frame_ids.insert(0, frame_i - cfg.sequence_interval)
+                samples.append(self._make_sample(ann, ann_file, frame_ids, True))
+        else:
+            if cfg.drop_last:
+                crop = (n_frames // 8) * 8 + 1
+                if crop > n_frames:
+                    crop = (n_frames // 8 - 1) * 8 + 1
+                n_frames = crop
+            frame_ids = list(range(n_frames))
+            samples.append(self._make_sample(ann, ann_file, frame_ids, False))
+        return samples
+
+    def _make_sample(self, ann, ann_file, frame_ids, is_sliced) -> Dict:
+        prompts = ann.get(self.config.caption_column) or [""]
+        return dict(
+            episode_id=ann["episode_id"],
+            ann_file=ann_file,
+            prompt=prompts[0],
+            frame_ids=frame_ids,
+            start_frame_idx=frame_ids[0],
+            num_frame=len(frame_ids),
+            is_sliced=is_sliced,
+        )
+
+    def _init_sequences(self):
+        samples: List[Dict] = []
+        with ThreadPoolExecutor(8) as ex:
+            futs = [ex.submit(self._load_ann, f) for f in self.ann_files]
+            for fut in as_completed(futs):
+                samples.extend(fut.result())
+        samples.sort(key=lambda s: (int(s["episode_id"]), int(s["start_frame_idx"])))
+        cfg = self.config
+        if cfg.num_samples and cfg.num_samples > 0 and cfg.num_samples < len(samples):
+            if cfg.sample_mode == "random":
+                rng = random.Random(cfg.seed)
+                keep = set(rng.sample(range(len(samples)), int(cfg.num_samples)))
+                samples = [s for i, s in enumerate(samples) if i in keep]
+            else:
+                samples = samples[: int(cfg.num_samples)]
+        self.samples = samples
+
+    def _load_ann(self, ann_file: str) -> List[Dict]:
+        try:
+            with open(ann_file) as f:
+                ann = json.load(f)
+        except Exception:
+            CONSOLE.log(f"failed to load {ann_file}; skipping")
+            return []
+        return self._slice_episode(ann, ann_file)
+
+    def __len__(self):
+        return len(self.samples)
+
+    # -- item loading ------------------------------------------------------
+
+    def _sample_name(self, sample: Dict, view: Optional[int] = None) -> str:
+        base = f"{int(sample['episode_id']):05d}_{sample['frame_ids'][0]:02d}_{sample['num_frame']:02d}"
+        return f"{base}_{view}" if view is not None else base
+
+    def _load_latent(self, kind: str, sample: Dict, view: Optional[int] = None):
+        base = str(self._emb_dir / kind / self._sample_name(sample, view))
+        arr = _load_tensor_file(base)
+        if arr is None and view == 0:  # single-view files may omit suffix
+            arr = _load_tensor_file(str(self._emb_dir / kind / self._sample_name(sample)))
+        return arr
+
+    def _get_actions(self, ann: Dict, frame_ids: Sequence[int]) -> np.ndarray:
+        states = np.asarray(ann["state"], dtype=np.float64)[list(frame_ids), :6]
+        grip = np.asarray(ann["continuous_gripper_state"], dtype=np.float64)[list(frame_ids)]
+        act = relative_actions(states, grip, accumulate=self.config.accumulate_action)
+        return (act * self.c_act_scaler).astype(np.float32)
+
+    def __getitem__(self, idx: int) -> Dict[str, Any]:
+        try:
+            return self._getitem(idx)
+        except Exception:
+            if os.environ.get("DEBUG"):
+                raise
+            # reference behavior: resample another index on a bad sample
+            return self._getitem(random.randrange(len(self.samples)))
+
+    def _getitem(self, idx: int) -> Dict[str, Any]:
+        cfg = self.config
+        sample = self.samples[idx]
+        with open(sample["ann_file"]) as f:
+            ann = json.load(f)
+
+        out: Dict[str, Any] = dict(
+            prompt="" if cfg.empty_prompt else sample["prompt"],
+            metainfo=dict(
+                episode_id=sample["episode_id"],
+                start_frame_idx=sample["start_frame_idx"],
+                num_frame=sample["num_frame"],
+            ),
+            num_views=1,
+        )
+        if cfg.load_actions and not cfg.no_traj:
+            out["actions"] = self._get_actions(ann, sample["frame_ids"])
+
+        if cfg.load_tensors:
+            lat = self._load_latent("latents", sample, view=0)
+            if lat is None:
+                raise FileNotFoundError(
+                    f"missing latents for {self._sample_name(sample)} in {self._emb_dir}"
+                )
+            out["latents"] = lat.astype(np.float32)  # [2C, F, H, W] moments
+            img = self._load_latent("image_latents", sample, view=0)
+            if img is not None:
+                out["image_latents"] = img.astype(np.float32)
+            emb = self._load_latent("prompt_embeds", sample, view=0)
+            if emb is None:
+                empty = str(self._emb_dir / "prompt_embeds" / "empty")
+                arr = _load_tensor_file(empty)
+                if arr is not None:
+                    emb = arr
+            if emb is not None:
+                out["prompt_embeds"] = emb.astype(np.float32)
+            if cfg.use_cond:
+                for key in cfg.control_keys:
+                    ctrl = self._load_latent(f"{key}_latents", sample, view=0)
+                    if ctrl is None:
+                        raise FileNotFoundError(f"missing {key} latents for sample {idx}")
+                    out[f"latents_{key}"] = ctrl.astype(np.float32)
+        return out
+
+
+class CascadedRobotDataset(RobotDataset):
+    """Long-horizon eval: consecutive slices of each episode labeled with
+    `sample_index` / `is_last` / `next_start_frame_idx` so the eval loop can
+    chain chunks, feeding the frame at next_start_frame_idx back as the
+    next chunk's reference image (reference dataset.py:1227-1509)."""
+
+    def _slice_episode(self, ann, ann_file):
+        cfg = self.config
+        n_frames = len(ann["state"])
+        span = (cfg.sequence_length - 1) * cfg.sequence_interval + 1
+        starts = list(range(cfg.sequence_interval, n_frames - span + 1, span))
+        # regrow a final partial slice backward to full length
+        last_start = starts[-1] + span if starts else cfg.sequence_interval
+        if last_start + span > n_frames and last_start < n_frames:
+            back_start = n_frames - span
+            if back_start > 0:
+                starts.append(back_start)
+        elif last_start + span <= n_frames:
+            starts.append(last_start)
+
+        samples = []
+        for si, frame_i in enumerate(starts):
+            frame_ids = list(range(frame_i, n_frames, cfg.sequence_interval))[: cfg.sequence_length]
+            if len(frame_ids) != cfg.sequence_length:
+                continue
+            if cfg.vae_has_first_single_frame:
+                frame_ids.insert(0, frame_i - cfg.sequence_interval)
+            s = self._make_sample(ann, ann_file, frame_ids, True)
+            s["sample_index"] = si
+            s["is_last"] = si == len(starts) - 1
+            s["next_start_frame_idx"] = (
+                None if si == len(starts) - 1
+                else starts[si + 1] - cfg.sequence_interval - frame_ids[0]
+            )
+            samples.append(s)
+        return samples
+
+    def _getitem(self, idx):
+        out = super()._getitem(idx)
+        s = self.samples[idx]
+        out["metainfo"].update(
+            sample_index=s["sample_index"], is_last=s["is_last"],
+            next_start_frame_idx=s["next_start_frame_idx"],
+        )
+        return out
+
+
+class MultiViewRobotDataset(RobotDataset):
+    """n_view <= max_n_view views per sample; per-view latents are stacked
+    along the frame axis `(v f)` (reference dataset.py:1714-1969)."""
+
+    def __init__(self, config: DatasetConfig, train_view_sampling: bool = True):
+        self.train_view_sampling = train_view_sampling and config.split == "train"
+        super().__init__(config)
+
+    def _make_sample(self, ann, ann_file, frame_ids, is_sliced):
+        s = super()._make_sample(ann, ann_file, frame_ids, is_sliced)
+        n_view = self.config.n_view or self.config.max_n_view
+        for v in range(n_view):
+            s[f"has_image_{v}"] = bool(ann.get(f"has_image_{v}", True))
+        s["n_view"] = sum(s[f"has_image_{v}"] for v in range(n_view))
+        return s
+
+    def _getitem(self, idx):
+        cfg = self.config
+        sample = self.samples[idx]
+        n_view = sample["n_view"]
+        if self.train_view_sampling and n_view > 1:
+            n_view = random.randint(1, n_view)
+
+        with open(sample["ann_file"]) as f:
+            ann = json.load(f)
+        out: Dict[str, Any] = dict(
+            prompt="" if cfg.empty_prompt else sample["prompt"],
+            metainfo=dict(
+                episode_id=sample["episode_id"],
+                start_frame_idx=sample["start_frame_idx"],
+                num_frame=sample["num_frame"],
+            ),
+            num_views=n_view,
+        )
+        if cfg.load_actions and not cfg.no_traj:
+            out["actions"] = self._get_actions(ann, sample["frame_ids"])
+
+        def stack_views(kind):
+            per_view = [self._load_latent(kind, sample, view=v) for v in range(n_view)]
+            if any(p is None for p in per_view):
+                return None
+            return np.concatenate([p.astype(np.float32) for p in per_view], axis=1)
+
+        if cfg.load_tensors:
+            lat = stack_views("latents")
+            if lat is None:
+                raise FileNotFoundError(f"missing multiview latents for sample {idx}")
+            out["latents"] = lat  # [2C, V*F, H, W]
+            img = stack_views("image_latents")
+            if img is not None:
+                out["image_latents"] = img
+            emb = self._load_latent("prompt_embeds", sample, view=0)
+            if emb is None:
+                emb = _load_tensor_file(str(self._emb_dir / "prompt_embeds" / "empty"))
+            if emb is not None:
+                out["prompt_embeds"] = emb.astype(np.float32)
+            if cfg.use_cond:
+                for key in cfg.control_keys:
+                    ctrl = stack_views(f"{key}_latents")
+                    if ctrl is None:
+                        raise FileNotFoundError(f"missing {key} latents for sample {idx}")
+                    out[f"latents_{key}"] = ctrl
+        return out
+
+
+class BucketSampler:
+    """Groups samples into homogeneous (num_views, ref-frames) batches;
+    flushes a bucket when it reaches batch_size (reference
+    dataset.py:1972-2050). Iterates forever when `infinite`."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, infinite: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.infinite = infinite
+
+    def _key(self, i):
+        s = self.dataset.samples[i]
+        return (s.get("n_view", 1),)
+
+    def __iter__(self):
+        rng = random.Random(self.seed)
+        epoch = 0
+        while True:
+            order = list(range(len(self.dataset)))
+            if self.shuffle:
+                rng.shuffle(order)
+            buckets: Dict[Tuple, List[int]] = {}
+            for i in order:
+                b = buckets.setdefault(self._key(i), [])
+                b.append(i)
+                if len(b) == self.batch_size:
+                    yield list(b)
+                    b.clear()
+            epoch += 1
+            if not self.infinite:
+                for b in buckets.values():  # flush remainders
+                    if b:
+                        yield list(b)
+                return
+
+
+def collate_control(items: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack per-sample dicts into batch arrays (reference
+    CollateFunctionControl, dataset.py:2053-2150). Tensor keys stack to
+    [B, ...]; metainfos/prompts stay lists."""
+    batch: Dict[str, Any] = {}
+    keys = items[0].keys()
+    for k in keys:
+        vals = [it[k] for it in items]
+        if k in ("metainfo", "prompt"):
+            batch[k + "s" if not k.endswith("s") else k] = vals
+        elif k == "num_views":
+            batch[k] = vals[0]
+        elif isinstance(vals[0], np.ndarray):
+            batch[k] = np.stack(vals, axis=0)
+        else:
+            batch[k] = vals
+    return batch

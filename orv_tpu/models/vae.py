@@ -324,6 +324,17 @@ class CausalVAE(nn.Module):
         video = self.decoder(z)
         return jnp.transpose(video, (0, 4, 1, 2, 3)).astype(jnp.float32)
 
+    def decode_tiled(self, latents, tile_latent_h: int = 24,
+                     tile_latent_w: int = 32, overlap: int = 8):
+        """Tiled decode bound to this module — see `tiled_decode` (free
+        function) for the actual implementation; only usable OUTSIDE jit
+        transforms of apply (the tile loop is a lax.scan over one decoder
+        trace, which linen cannot host inside a method)."""
+        raise NotImplementedError(
+            "use orv_tpu.models.vae.tiled_decode(decode_fn, latents, ...) "
+            "with decode_fn = lambda z: vae.apply(params, z, method=vae.decode)"
+        )
+
     def __call__(self, video, rng=None):
         """encode -> sample -> decode roundtrip (for tests)."""
         moments = self.encode(video)
@@ -335,3 +346,75 @@ class CausalVAE(nn.Module):
         else:
             z = mean
         return self.decode(z), moments
+
+
+def tiled_decode(
+    decode_fn,
+    latents,
+    tile_latent_h: int = 24,
+    tile_latent_w: int = 32,
+    overlap: int = 8,
+    out_channels: int = 3,
+    temporal_expand: int = 4,
+):
+    """Spatially tiled VAE decode with normalized linear-ramp overlap-add.
+
+    The reference enables diffusers' enable_tiling for exactly this reason:
+    the 128-channel full-resolution decoder activations do not fit HBM for
+    49x320x480 clips. Tiles are uniform (the latent is zero-padded) and the
+    tile loop is a `lax.scan`, so ONE decoder trace/compile serves every
+    tile. Pairwise-overlap blending matches the reference's blend_h/blend_v
+    cross-fade.
+
+    decode_fn: pure fn, latent tile [B, C, T, th, tw] -> video
+    [B, out_channels, T_out, th*8, tw*8] (e.g. closes over vae params).
+    """
+    import numpy as np
+
+    B, C, T, H, W = latents.shape
+    sf = 8
+    th = min(tile_latent_h, H)
+    tw = min(tile_latent_w, W)
+    step_h = max(1, th - overlap)
+    step_w = max(1, tw - overlap)
+    n_th = 1 if H <= th else -(-(H - th) // step_h) + 1
+    n_tw = 1 if W <= tw else -(-(W - tw) // step_w) + 1
+    pad_h = (n_th - 1) * step_h + th - H
+    pad_w = (n_tw - 1) * step_w + tw - W
+    z = jnp.pad(latents, ((0, 0), (0, 0), (0, 0), (0, pad_h), (0, pad_w)))
+
+    def ramp(n_px, ov_px):
+        w = np.ones(n_px)
+        if ov_px > 0:
+            r = (np.arange(ov_px) + 1.0) / (ov_px + 1.0)  # strictly > 0
+            w[:ov_px] = r
+            w[-ov_px:] = r[::-1]
+        return w
+
+    ov_px = overlap * sf
+    w2d = np.outer(ramp(th * sf, ov_px), ramp(tw * sf, ov_px))
+    w_tile = jnp.asarray(w2d, dtype=jnp.float32)[None, None, None]
+
+    positions = np.array(
+        [(ti * step_h, tj * step_w) for ti in range(n_th) for tj in range(n_tw)],
+        dtype=np.int32,
+    )
+    T_out = (T - 1) * temporal_expand + 1 if T > 1 else 1
+    Hp, Wp = z.shape[3] * sf, z.shape[4] * sf
+    tile_out_shape = (B, out_channels, T_out, th * sf, tw * sf)
+
+    def body(carry, pos):
+        canvas, weight = carry
+        i, j = pos[0] * sf, pos[1] * sf
+        tile = jax.lax.dynamic_slice(z, (0, 0, 0, pos[0], pos[1]), (B, C, T, th, tw))
+        dec = decode_fn(tile).astype(jnp.float32) * w_tile
+        cur = jax.lax.dynamic_slice(canvas, (0, 0, 0, i, j), tile_out_shape)
+        canvas = jax.lax.dynamic_update_slice(canvas, cur + dec, (0, 0, 0, i, j))
+        wcur = jax.lax.dynamic_slice(weight, (0, 0, 0, i, j), (1, 1, 1, th * sf, tw * sf))
+        weight = jax.lax.dynamic_update_slice(weight, wcur + w_tile, (0, 0, 0, i, j))
+        return (canvas, weight), None
+
+    canvas0 = jnp.zeros((B, out_channels, T_out, Hp, Wp), jnp.float32)
+    weight0 = jnp.zeros((1, 1, 1, Hp, Wp), jnp.float32)
+    (canvas, weight), _ = jax.lax.scan(body, (canvas0, weight0), jnp.asarray(positions))
+    return (canvas / weight)[:, :, :, : H * sf, : W * sf]

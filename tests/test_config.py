@@ -1,0 +1,62 @@
+"""Layered config merge tests."""
+
+from pathlib import Path
+
+import pytest
+
+from orv_tpu.configs import Config, apply_dotted_overrides, deep_merge, load_config
+
+CFG_DIR = Path(__file__).parent.parent / "orv_tpu" / "config"
+
+
+def test_deep_merge_nested():
+    a = {"x": {"y": 1, "z": 2}, "w": [1, 2]}
+    b = {"x": {"y": 10}, "w": [3]}
+    m = deep_merge(a, b)
+    assert m == {"x": {"y": 10, "z": 2}, "w": [3]}
+
+
+def test_dotted_overrides_yaml_typed():
+    cfg = {"train": {"learning_rate": 2e-4}}
+    out = apply_dotted_overrides(cfg, ["train.learning_rate=1e-5", "train.new_flag=true"])
+    assert out["train"]["learning_rate"] == 1e-5
+    assert out["train"]["new_flag"] is True
+
+
+def test_base_train_loads_with_dataset_type():
+    cfg = load_config(str(CFG_DIR / "base_train.yaml"), dataset_type="bridgev2")
+    assert cfg.dataset.data_root == "./data/bridge"
+    assert cfg.dataset.sequence_length == 16
+    assert cfg.dataset.type == "bridgev2"
+    # runtime anchor merged into dataset AND root
+    assert cfg.dataset.empty_prompt is True
+    assert cfg.seed == 42
+    # other dataset-type blocks removed
+    assert "droid" not in cfg["dataset"]
+
+
+def test_experiment_overlay_and_debug():
+    cfg = load_config(
+        str(CFG_DIR / "base_train.yaml"),
+        experiment_yaml=str(CFG_DIR / "experiments" / "traj_image_2b_finetune.yaml"),
+        dataset_type="rt1",
+        debug_yaml=str(CFG_DIR / "debug.yaml"),
+        overrides=["train.learning_rate=5e-5"],
+    )
+    assert cfg.train.max_train_steps == 100  # debug overlay wins over experiment
+    assert cfg.train.learning_rate == 5e-5  # CLI wins over all
+    assert cfg.recon_action is True  # experiment runtime merged to root
+    assert cfg.dataset.video_size == [256, 320]
+
+
+def test_start_frame_interval_split_dict():
+    cfg = load_config(str(CFG_DIR / "base_train.yaml"), dataset_type="bridgev2")
+    assert cfg.dataset.start_frame_interval["train"] == 4
+    assert cfg.dataset.start_frame_interval["test"] == 16
+
+
+def test_config_attr_access():
+    c = Config({"a": {"b": {"c": 5}}})
+    assert c.a.b.c == 5
+    assert c.get_path("a.b.c") == 5
+    assert c.get_path("a.b.missing", 7) == 7
