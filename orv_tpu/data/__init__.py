@@ -1,5 +1,6 @@
 from orv_tpu.data.dataset import (
     DatasetConfig,
+    DemoRobotDataset,
     RobotDataset,
     CascadedRobotDataset,
     MultiViewRobotDataset,
@@ -9,6 +10,7 @@ from orv_tpu.data.dataset import (
 
 __all__ = [
     "DatasetConfig",
+    "DemoRobotDataset",
     "RobotDataset",
     "CascadedRobotDataset",
     "MultiViewRobotDataset",

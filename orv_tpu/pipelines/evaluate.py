@@ -37,14 +37,10 @@ from orv_tpu.utils.logging import CONSOLE
 
 
 def save_video(path: str, video: np.ndarray, fps: int = 8):
-    """video [T, H, W, 3] uint8 -> mp4 (imageio) with gif fallback."""
-    import imageio
+    """video [T, H, W, 3] uint8 -> mp4 (cv2/imageio) with gif fallback."""
+    from orv_tpu.utils.video import write_video
 
-    path = str(path)
-    try:
-        imageio.mimwrite(path, list(video), fps=fps, quality=8)
-    except Exception:
-        imageio.mimwrite(path.rsplit(".", 1)[0] + ".gif", list(video), fps=fps)
+    write_video(str(path), video, fps=fps)
 
 
 def to_uint8(video: np.ndarray) -> np.ndarray:

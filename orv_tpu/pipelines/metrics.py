@@ -186,10 +186,9 @@ def pair_files(gt_dir: str, pred_dir: str, suffix: str = ".mp4") -> List[Tuple[s
 
 def read_video(path: str) -> np.ndarray:
     """-> [T, H, W, 3] float32 in [0, 1]."""
-    import imageio
+    from orv_tpu.utils.video import read_video as _rv
 
-    frames = [np.asarray(f, dtype=np.float32) / 255.0 for f in imageio.mimread(path, memtest=False)]
-    return np.stack(frames)
+    return _rv(path).astype(np.float32) / 255.0
 
 
 def main(argv=None):
