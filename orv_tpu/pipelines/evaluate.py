@@ -85,11 +85,11 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None):
         CONSOLE.log(f"loaded VAE from {vae_path}")
 
     cascaded = bool(ev.get("cascaded", False))
+    dataset = build_dataset(cfg, split=cfg.dataset.get("split", "test"))
     if cascaded:
-        dataset = build_dataset(cfg, split=cfg.dataset.get("split", "test"))
-        dataset.__class__ = CascadedRobotDataset  # same config surface
-    else:
-        dataset = build_dataset(cfg, split=cfg.dataset.get("split", "test"))
+        # rebuild index with chunk-chaining metadata, same config surface
+        dataset.__class__ = CascadedRobotDataset
+        dataset._init_sequences()
 
     # work-list sharding across processes (reference rank slicing)
     n_proc, pid = jax.process_count(), jax.process_index()
@@ -111,6 +111,10 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None):
     scaling = float(cfg.get("vae", {}).get("scaling_factor", 1.15258426))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 42)))
     pool = ThreadPoolExecutor(2)
+
+    if cascaded:
+        return _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode,
+                                 scaling, rng, vae, vae_params, out_dir, ev)
 
     bs = int(ev.get("batch_size", 1))
     results = []
@@ -164,6 +168,82 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None):
     with open(out_dir / f"manifest_{pid}.json", "w") as f:
         json.dump(results, f)
     CONSOLE.log(f"evaluation complete: {len(results)} clips -> {out_dir}")
+    return results
+
+
+def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
+                      rng, vae, vae_params, out_dir, ev):
+    """Long-horizon generation: per episode, run chunks in order; each chunk
+    after the first is conditioned on the GENERATED frame at the previous
+    chunk's next_start_frame_idx (reference evaluation_…py:351-379). With a
+    VAE the chaining frame is re-encoded from pixels; without one (smoke
+    mode) the matching latent frame carries over directly."""
+    from collections import defaultdict
+
+    episodes = defaultdict(list)
+    for i, s in enumerate(dataset.samples):
+        episodes[str(s["episode_id"])].append((s["sample_index"], i))
+    results = []
+    C = dit_cfg.out_channels
+
+    for ep, chunk_list in episodes.items():
+        chunk_list.sort()
+        rng, r_ep = jax.random.split(rng)
+        image_latents = None
+        chunks_out = []
+        for si, idx in chunk_list:
+            item = dataset[idx]
+            sample = dataset.samples[idx]
+            r_ep, r_img, r_noise, r_samp = jax.random.split(r_ep, 4)
+            lat_m = jnp.asarray(item["latents"])[None]
+            F_lat, H, W = lat_m.shape[2], lat_m.shape[3], lat_m.shape[4]
+            if image_latents is None:  # first chunk: dataset reference image
+                image_latents = prepare_image_latents(
+                    jnp.asarray(item["image_latents"])[None], F_lat, r_img,
+                    latent_channels=C, scaling_factor=scaling,
+                ).astype(jnp.bfloat16)
+            kwargs = {}
+            if "actions" in item and "traj" in mode:
+                kwargs["actions"] = jnp.asarray(item["actions"])[None].astype(jnp.bfloat16)
+            prompt = jnp.asarray(item["prompt_embeds"])[None].astype(jnp.bfloat16)
+            noise = jax.random.normal(r_noise, (1, F_lat, C, H, W), dtype=jnp.float32)
+            latents = sample_jit(params, noise, image_latents, prompt, r_samp, **kwargs)
+            chunks_out.append(np.asarray(latents[0], dtype=np.float32))
+
+            nxt = sample.get("next_start_frame_idx")
+            if nxt is not None:
+                # raw-frame offset -> latent frame (8n+1 causal structure)
+                f_lat_idx = min((int(nxt) + 3) // 4, F_lat - 1)
+                if vae is not None:
+                    z = latents[:, :, :].transpose(0, 2, 1, 3, 4) / scaling
+                    video = tiled_decode(
+                        lambda t: vae.apply(vae_params, t, method=vae.decode), z)
+                    raw_idx = min(int(nxt), video.shape[2] - 1)
+                    frame = video[:, :, raw_idx : raw_idx + 1]  # [1, 3, 1, H, W]
+                    moments = vae.apply(vae_params, frame, method=vae.encode)
+                    ref = jnp.split(moments, 2, axis=1)[0] * scaling
+                    ref = ref.transpose(0, 2, 1, 3, 4)  # [1, 1, C, h, w]
+                else:
+                    ref = latents[:, f_lat_idx : f_lat_idx + 1]
+                pad = jnp.zeros((1, F_lat - 1, *ref.shape[2:]), ref.dtype)
+                image_latents = jnp.concatenate([ref, pad], axis=1).astype(jnp.bfloat16)
+
+        stitched = np.concatenate(chunks_out, axis=0)  # [sum F_lat, C, H, W]
+        np.savez(out_dir / f"{ep}_cascaded_latents.npz", stitched)
+        if vae is not None:
+            videos = []
+            for ch in chunks_out:
+                z = jnp.asarray(ch)[None].transpose(0, 2, 1, 3, 4) / scaling
+                videos.append(np.asarray(tiled_decode(
+                    lambda t: vae.apply(vae_params, t, method=vae.decode), z)[0]))
+            video = np.concatenate(videos, axis=1)  # [3, sum T, H, W]
+            save_video(str(out_dir / f"{ep}_cascaded.mp4"), to_uint8(video),
+                       int(ev.get("save_fps", 8)))
+        results.append(ep)
+        CONSOLE.log(f"cascaded episode {ep}: {len(chunks_out)} chunks")
+    with open(out_dir / "manifest_cascaded.json", "w") as f:
+        json.dump(results, f)
+    CONSOLE.log(f"cascaded evaluation complete: {len(results)} episodes -> {out_dir}")
     return results
 
 
