@@ -1,0 +1,115 @@
+"""Data-factory stage tests (owned geometry/render/cluster/pipeline logic)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from orv_tpu.pipelines.prepare_dataset import (
+    Stage, align_depth_scale, cluster_label_vocab, depth_unproject_backend,
+    occupancy_from_frames, occupancy_to_gaussians, points_to_voxels,
+    render_episode, run_stage_pipeline, statistical_outlier_removal,
+)
+
+
+def test_points_to_voxels_label_vote():
+    # 5 points in one voxel: labels [1,1,2,1,2] -> majority 1
+    pts = np.tile(np.array([[0.0505, 0.0505, 0.0505]]), (5, 1)) + np.random.default_rng(0).normal(0, 1e-5, (5, 3))
+    labels = np.array([1, 1, 2, 1, 2])
+    coors, vl = points_to_voxels(pts, labels)
+    assert len(coors) == 1
+    assert vl[0] == 1
+
+
+def test_outlier_removal():
+    rng = np.random.default_rng(0)
+    cluster = rng.normal(0, 0.01, (200, 3))
+    outliers = rng.normal(0, 1.0, (5, 3)) + 3.0
+    pts = np.concatenate([cluster, outliers])
+    kept = statistical_outlier_removal(pts, k=8, std_ratio=2.0)
+    assert len(kept) < len(pts)
+    assert np.abs(kept).max() < 1.0  # outliers gone
+
+
+def test_align_depth_scale():
+    rng = np.random.default_rng(1)
+    mono = rng.uniform(0.5, 2.0, (32, 32))
+    metric = mono * 3.7
+    assert align_depth_scale(mono, metric) == pytest.approx(3.7)
+    # masked version ignores bad pixels
+    bad = metric.copy(); bad[:16] = 0
+    mask = np.zeros_like(mono, bool); mask[16:] = True
+    assert align_depth_scale(mono, bad, mask) == pytest.approx(3.7)
+
+
+def test_depth_unproject_backend(tmp_path):
+    ep = tmp_path / "ep0"
+    (ep / "depth").mkdir(parents=True)
+    K = [[50.0, 0, 16], [0, 50.0, 16], [0, 0, 1]]
+    (ep / "intrinsics.json").write_text(json.dumps({"K": K}))
+    np.save(ep / "poses.npy", np.stack([np.eye(4)] * 2))
+    np.save(ep / "depth" / "00000.npy", np.full((32, 32), 0.5, np.float32))
+    np.save(ep / "depth" / "00001.npy", np.full((32, 32), 1.0, np.float32))
+    out = depth_unproject_backend(str(ep))
+    assert len(out["points"]) == 2
+    # center pixel unprojects to (0, 0, depth)
+    np.testing.assert_allclose(out["points"][0][:, 2], 0.5, atol=1e-6)
+
+
+def test_occupancy_render_roundtrip():
+    rng = np.random.default_rng(2)
+    # one frame of labeled points: plane(0) + blob(1)
+    plane = np.stack([rng.uniform(-0.15, 0.15, 3000), rng.uniform(-0.15, 0.15, 3000),
+                      np.full(3000, 0.02)], 1)
+    blob = rng.normal([0, 0, 0.12], 0.015, (1500, 3))
+    pts = np.concatenate([plane, blob])
+    labels = np.concatenate([np.zeros(3000), np.ones(1500)]).astype(int)
+    occ = occupancy_from_frames([pts], [labels])
+    assert len(occ) == 1 and len(occ[0]["coors"]) > 100
+
+    import math
+    c2w = np.eye(4); c2w[:3, 3] = [0, -0.2, 0.2]
+    a = math.radians(-130)
+    c2w[:3, :3] = np.array([[1, 0, 0], [0, math.cos(a), -math.sin(a)],
+                            [0, math.sin(a), math.cos(a)]])
+    K = np.array([[80.0, 0, 32], [0, 80.0, 24], [0, 0, 1]])
+    out = render_episode(occ, [c2w], [K], (48, 64))
+    assert out["semantics"].shape == (1, 1, 48, 64)
+    assert out["depths"].shape == (1, 1, 48, 64)
+    sems = set(np.unique(out["semantics"]))
+    assert 0 in sems and 1 in sems  # both labels visible
+    d = out["depths"][out["depths"] > 0]
+    assert d.min() >= 0.01 and d.max() <= 0.4  # reference clamp
+
+
+def test_cluster_label_vocab():
+    rng = np.random.default_rng(3)
+    # two separated embedding clusters -> two labels
+    embs = np.concatenate([rng.normal(0, 0.1, (10, 16)), rng.normal(5, 0.1, (10, 16))])
+    captions = [f"cap{i}" for i in range(20)]
+    vocab = cluster_label_vocab(embs, captions, n_labels=2, pca_dim=8)
+    a = {vocab[f"cap{i}"] for i in range(10)}
+    b = {vocab[f"cap{i}"] for i in range(10, 20)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+
+def test_stage_pipeline_skip_if_exists(tmp_path):
+    calls = tmp_path / "calls"
+    calls.mkdir()
+
+    def make_stage(name):
+        def fn(key):
+            (tmp_path / f"{name}_{key}.out").write_text("x")
+            (calls / f"{name}_{key}").write_text("ran")
+        return Stage(name, fn, lambda k, n=name: str(tmp_path / f"{n}_{k}.out"))
+
+    keys = ["a", "b", "c"]
+    # pre-create one output: stage must skip it
+    (tmp_path / "s1_b.out").write_text("pre")
+    done = run_stage_pipeline([make_stage("s1"), make_stage("s2")], keys)
+    assert sorted(done) == keys
+    assert not (calls / "s1_b").exists()  # skipped
+    assert (calls / "s2_b").exists()  # downstream still ran
+    for k in keys:
+        assert (tmp_path / f"s2_{k}.out").exists()
