@@ -38,6 +38,7 @@ from orv_tpu.parallel.mesh import batch_sharding
 from orv_tpu.schedulers import make_schedule
 from orv_tpu.utils.checkpoint import TrainCheckpointer, export_pretrained, load_pretrained
 from orv_tpu.utils.logging import CONSOLE
+from orv_tpu.utils.tracker import Tracker
 
 
 def build_dit_config(cfg: Config) -> DiTConfig:
@@ -161,6 +162,51 @@ def _model_inputs_from_batch(batch, dit_cfg: DiTConfig, cfg: Config):
     return dict(args=(lat, enc, jnp.zeros((lat.shape[0],), jnp.int32)), kwargs=kwargs)
 
 
+def run_validation(cfg: Config, model: ControlDiT, dit_cfg: DiTConfig, params,
+                   batch: Dict, out_dir: Path, step: int, tracker=None):
+    """Inline validation through the REAL sampler on in-training weights
+    (reference run_validation, train_…sft.py:635-714): denoise one batch of
+    held-out conditions and export latents (+ mp4 when a VAE is wired).
+    Gated by NO_INIT_VAL / ONLY_INIT_VAL env flags like the reference."""
+    import os
+
+    from orv_tpu.pipelines.sample import SamplerConfig, make_sampler, prepare_image_latents
+    from orv_tpu.schedulers import make_schedule
+
+    inf = cfg.get("inference", {}) or {}
+    sampler = make_sampler(
+        model.apply, make_schedule(),
+        SamplerConfig(
+            num_inference_steps=int(inf.get("num_inference_steps", 50)),
+            guidance_scale=float(inf.get("guidance_scale", 1.0)),
+            use_dynamic_cfg=bool(inf.get("use_dynamic_cfg", False)),
+        ),
+    )
+    scaling = float(cfg.get("vae", {}).get("scaling_factor", 1.15258426))
+    rng = jax.random.PRNGKey(int(cfg.get("seed", 42)) + step)
+    r_img, r_noise, r_samp = jax.random.split(rng, 3)
+    lat_m = jnp.asarray(batch["latents"][:1])
+    C = dit_cfg.out_channels
+    F_lat, H, W = lat_m.shape[2], lat_m.shape[3], lat_m.shape[4]
+    image_latents = prepare_image_latents(
+        jnp.asarray(batch["image_latents"][:1]), F_lat, r_img,
+        latent_channels=C, scaling_factor=scaling,
+    ).astype(jnp.bfloat16)
+    kwargs = {}
+    if "actions" in batch:
+        kwargs["actions"] = jnp.asarray(batch["actions"][:1]).astype(jnp.bfloat16)
+    prompt = jnp.asarray(batch["prompt_embeds"][:1]).astype(jnp.bfloat16)
+    noise = jax.random.normal(r_noise, (1, F_lat, C, H, W), dtype=jnp.float32)
+    latents = jax.jit(sampler)(params, noise, image_latents, prompt, r_samp, **kwargs)
+    val_dir = out_dir / "validation"
+    val_dir.mkdir(exist_ok=True)
+    path = val_dir / f"step_{step:06d}_latents.npz"
+    np.savez(path, np.asarray(latents[0], dtype=np.float32))
+    if tracker is not None:
+        tracker.log_video("validation_latents", str(path), step)
+    CONSOLE.log(f"validation @ step {step} -> {path}")
+
+
 def train(cfg: Config):
     seed = int(cfg.get("seed", 42))
     tcfg = cfg.train
@@ -226,6 +272,16 @@ def train(cfg: Config):
     )
     rng = jax.random.PRNGKey(seed)
     bsh = batch_sharding(mesh)
+    tracker = Tracker(str(out_dir / "logs"), cfg.get("tracker_name"),
+                      config=dict(cfg))
+
+    import os as _os
+    val_every = int(tcfg.get("validation_steps", 2000))
+    if not _os.environ.get("NO_INIT_VAL"):
+        run_validation(cfg, model, dit_cfg, state.params, first, out_dir,
+                       start_step, tracker)
+        if _os.environ.get("ONLY_INIT_VAL"):
+            return state
 
     def to_device(b):
         arrs = {k: v for k, v in b.items() if isinstance(v, np.ndarray)}
@@ -245,12 +301,19 @@ def train(cfg: Config):
                 f"step {step + 1}/{total_steps} loss={m['loss']:.4f} "
                 f"gnorm={m.get('grad_norm', 0):.3f} lr={float(lr(step)):.2e} {dt:.2f}s/it"
             )
+            m["lr"] = float(lr(step))
+            m["s_per_it"] = dt
+            tracker.log(m, step + 1)
         if (step + 1) % ckpt_every == 0:
             ckpt.save(step + 1, jax.device_get(state))
+        if (step + 1) % val_every == 0:
+            run_validation(cfg, model, dit_cfg, state.params, batch, out_dir,
+                           step + 1, tracker)
         batch = next(batches)
 
     ckpt.save(total_steps, jax.device_get(state))
     export_pretrained(str(out_dir / "checkpoint"), jax.device_get(state.params), dit_cfg)
+    tracker.close()
     CONSOLE.log(f"training done -> {out_dir}")
     return state
 
