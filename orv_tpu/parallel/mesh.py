@@ -24,6 +24,26 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None):
+    """Multi-host bring-up (replaces the reference's torchrun/accelerate
+    launchers + NCCL process groups): one call per host, then jax.devices()
+    spans the whole slice and every jit in this module shards globally.
+    No-ops on single-process runs and when already initialized."""
+    import jax
+
+    if jax.process_count() > 1:
+        return
+    try:
+        if coordinator_address:
+            jax.distributed.initialize(coordinator_address, num_processes, process_id)
+        else:
+            jax.distributed.initialize()  # TPU auto-bootstrap
+    except Exception:
+        pass  # single-process / unsupported platform
+
+
 @dataclasses.dataclass(frozen=True)
 class MeshConfig:
     dp: int = -1  # -1: all remaining devices

@@ -43,6 +43,15 @@ from orv_tpu.utils.tracker import Tracker
 
 def build_dit_config(cfg: Config) -> DiTConfig:
     t = cfg.transformer
+    if t.get("config_path"):
+        # scratch-model config file (orv_tpu/config/transformer/*.yaml)
+        import yaml as _yaml
+
+        with open(str(t["config_path"])) as f:
+            base = _yaml.safe_load(f) or {}
+        merged = dict(base)
+        merged.update({k: v for k, v in dict(t).items() if k != "config_path"})
+        t = Config(merged)
     return DiTConfig(
         num_attention_heads=t.get("num_attention_heads", 30),
         attention_head_dim=t.get("attention_head_dim", 64),
