@@ -423,3 +423,25 @@ def attention(q, k, v, scale=None, impl: str = "auto", static_max: Optional[floa
     if impl == "flash":
         return flash_attention(q, k, v, scale, static_max=static_max)
     return mha_reference(q, k, v, scale)
+
+
+def attention_with_lse(q, k, v, scale: Optional[float] = None, impl: str = "auto"):
+    """Attention that also returns per-row logsumexp [B, H, S] — the
+    combination statistic ring/sequence-parallel attention needs to merge
+    partial results across KV chunks."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "xla"
+    if impl == "flash":
+        block_q = _pick_block(q.shape[2], 1024, 128)
+        block_k = _pick_block(k.shape[2], 2048, 128)
+        out, lse = _fwd(q, k, v, float(scale), block_q, block_k)
+        B, H, S, _ = q.shape
+        lse = lse.reshape(B, H, -1, LANES)[:, :, :S, 0]
+        return out, lse
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    probs = jnp.exp(logits - lse[..., None]).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v), lse
