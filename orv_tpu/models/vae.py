@@ -83,7 +83,13 @@ class GroupNorm(nn.Module):
 
 class CausalConv3d(nn.Module):
     """conv3d with first-frame-replicate temporal front pad + zero spatial
-    SAME pad. x: [B, T, H, W, C]."""
+    SAME pad. x: [B, T, H, W, C].
+
+    Streaming mode (the reference's fake_context_parallel_forward conv
+    cache): when called with `first_chunk=False` under a mutable "cache"
+    collection, the temporal front pad comes from the previous chunk's last
+    kt-1 frames instead of first-frame replication, so frame-chunked
+    encode/decode is causally continuous across chunks."""
 
     features: int
     kernel: Tuple[int, int, int] = (3, 3, 3)
@@ -92,11 +98,21 @@ class CausalConv3d(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, first_chunk: bool = True):
         kt, kh, kw = self.kernel
         if kt > 1:
-            first = jnp.repeat(x[:, :1], kt - 1, axis=1)
-            x = jnp.concatenate([first, x], axis=1)
+            streaming = self.is_mutable_collection("cache")
+            if first_chunk:
+                pad = jnp.repeat(x[:, :1], kt - 1, axis=1)
+            else:
+                cache = self.get_variable("cache", "conv_cache")
+                if cache is None:
+                    raise ValueError("first_chunk=False requires a primed cache")
+                pad = cache.astype(x.dtype)
+            padded = jnp.concatenate([pad, x], axis=1)
+            if streaming:
+                self.put_variable("cache", "conv_cache", padded[:, -(kt - 1):])
+            x = padded
         ph, pw = (kh - 1) // 2, (kw - 1) // 2
         return nn.Conv(
             self.features, self.kernel, strides=self.strides,
@@ -117,7 +133,7 @@ class SpatialNorm3D(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, f, zq):
+    def __call__(self, f, zq, first_chunk: bool = True):
         def resize(z, t, h, w):
             # nearest-neighbor to (t, h, w)
             B, zt, zh, zw, C = z.shape
@@ -126,7 +142,8 @@ class SpatialNorm3D(nn.Module):
             return z
 
         T, H, W = f.shape[1], f.shape[2], f.shape[3]
-        if T > 1 and T % 2 == 1:
+        if first_chunk and T > 1 and T % 2 == 1:
+            # the leading single frame resizes separately (full-clip layout)
             z_first = resize(zq[:, :1], 1, H, W)
             z_rest = resize(zq[:, 1:], T - 1, H, W)
             zq = jnp.concatenate([z_first, z_rest], axis=1)
@@ -152,19 +169,19 @@ class ResnetBlock3D(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, zq=None):
+    def __call__(self, x, zq=None, first_chunk: bool = True):
         def norm(name, ch, h):
             if self.spatial_norm_zq:
                 return SpatialNorm3D(ch, self.zq_channels, self.groups, self.eps,
-                                     self.dtype, self.param_dtype, name=name)(h, zq)
+                                     self.dtype, self.param_dtype, name=name)(h, zq, first_chunk)
             return GroupNorm(ch, self.groups, self.eps, self.param_dtype, name=name)(h)
 
         h = norm("norm1", self.in_channels, x)
         h = CausalConv3d(self.out_channels, (3, 3, 3), dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="conv1")(nn.silu(h))
+                         param_dtype=self.param_dtype, name="conv1")(nn.silu(h), first_chunk)
         h = norm("norm2", self.out_channels, h)
         h = CausalConv3d(self.out_channels, (3, 3, 3), dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="conv2")(nn.silu(h))
+                         param_dtype=self.param_dtype, name="conv2")(nn.silu(h), first_chunk)
         if self.in_channels != self.out_channels:
             x = CausalConv3d(self.out_channels, (1, 1, 1), dtype=self.dtype,
                              param_dtype=self.param_dtype, name="conv_shortcut")(x)
@@ -181,10 +198,10 @@ class Downsample3D(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, first_chunk: bool = True):
         if self.compress_time:
             T = x.shape[1]
-            if T % 2 == 1 and T > 1:
+            if first_chunk and T % 2 == 1 and T > 1:
                 first, rest = x[:, :1], x[:, 1:]
                 rest = 0.5 * (rest[:, 0::2] + rest[:, 1::2])
                 x = jnp.concatenate([first, rest], axis=1)
@@ -208,7 +225,7 @@ class Upsample3D(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, first_chunk: bool = True):
         B, T, H, W, C = x.shape
 
         def up(z, t_scale):
@@ -216,12 +233,14 @@ class Upsample3D(nn.Module):
             return jax.image.resize(z, (b, t * t_scale, h * 2, w * 2, c), method="nearest")
 
         if self.compress_time:
-            if T > 1 and T % 2 == 1:
+            if first_chunk and T > 1 and T % 2 == 1:
                 x = jnp.concatenate([up(x[:, :1], 1), up(x[:, 1:], 2)], axis=1)
             elif T > 1:
                 x = up(x, 2)
-            else:
+            elif first_chunk:
                 x = up(x, 1)
+            else:
+                x = up(x, 2)
         else:
             x = up(x, 1)
         return nn.Conv(
@@ -236,31 +255,31 @@ class Encoder3D(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, first_chunk: bool = True):
         c = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         ch = c.block_out_channels[0]
-        h = CausalConv3d(ch, (3, 3, 3), name="conv_in", **kw)(x)
+        h = CausalConv3d(ch, (3, 3, 3), name="conv_in", **kw)(x, first_chunk)
 
         for i, out_ch in enumerate(c.block_out_channels):
             for j in range(c.layers_per_block):
                 h = ResnetBlock3D(
                     ch if j == 0 else out_ch, out_ch, groups=c.norm_num_groups,
                     eps=c.norm_eps, name=f"down_{i}_res_{j}", **kw,
-                )(h)
+                )(h, first_chunk=first_chunk)
             ch = out_ch
             if i < len(c.block_out_channels) - 1:
                 h = Downsample3D(
                     out_ch, compress_time=i < c.temporal_compress_level,
                     name=f"down_{i}_downsample", **kw,
-                )(h)
+                )(h, first_chunk)
 
         for j in range(2):
             h = ResnetBlock3D(ch, ch, groups=c.norm_num_groups, eps=c.norm_eps,
-                              name=f"mid_res_{j}", **kw)(h)
+                              name=f"mid_res_{j}", **kw)(h, first_chunk=first_chunk)
         h = GroupNorm(ch, c.norm_num_groups, c.norm_eps, self.param_dtype, name="norm_out")(h)
         return CausalConv3d(2 * c.latent_channels, (3, 3, 3), name="conv_out", **kw)(
-            nn.silu(h)
+            nn.silu(h), first_chunk
         )
 
 
@@ -270,17 +289,17 @@ class Decoder3D(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, first_chunk: bool = True):
         c = self.config
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         reversed_ch = tuple(reversed(c.block_out_channels))  # (512, 256, 256, 128)
         ch = reversed_ch[0]
-        h = CausalConv3d(ch, (3, 3, 3), name="conv_in", **kw)(z)
+        h = CausalConv3d(ch, (3, 3, 3), name="conv_in", **kw)(z, first_chunk)
 
         for j in range(2):
             h = ResnetBlock3D(ch, ch, spatial_norm_zq=True, zq_channels=c.latent_channels,
                               groups=c.norm_num_groups, eps=c.norm_eps,
-                              name=f"mid_res_{j}", **kw)(h, z)
+                              name=f"mid_res_{j}", **kw)(h, z, first_chunk)
 
         for i, out_ch in enumerate(reversed_ch):
             for j in range(c.layers_per_block + 1):
@@ -288,17 +307,17 @@ class Decoder3D(nn.Module):
                     ch if j == 0 else out_ch, out_ch, spatial_norm_zq=True,
                     zq_channels=c.latent_channels, groups=c.norm_num_groups,
                     eps=c.norm_eps, name=f"up_{i}_res_{j}", **kw,
-                )(h, z)
+                )(h, z, first_chunk)
             ch = out_ch
             if i < len(reversed_ch) - 1:
                 h = Upsample3D(
                     out_ch, compress_time=i < c.temporal_compress_level,
                     name=f"up_{i}_upsample", **kw,
-                )(h)
+                )(h, first_chunk)
 
         h = SpatialNorm3D(ch, c.latent_channels, c.norm_num_groups, c.norm_eps,
-                          self.dtype, self.param_dtype, name="norm_out")(h, z)
-        return CausalConv3d(c.out_channels, (3, 3, 3), name="conv_out", **kw)(nn.silu(h))
+                          self.dtype, self.param_dtype, name="norm_out")(h, z, first_chunk)
+        return CausalConv3d(c.out_channels, (3, 3, 3), name="conv_out", **kw)(nn.silu(h), first_chunk)
 
 
 class CausalVAE(nn.Module):
@@ -314,14 +333,14 @@ class CausalVAE(nn.Module):
         self.encoder = Encoder3D(self.config, self.dtype, self.param_dtype)
         self.decoder = Decoder3D(self.config, self.dtype, self.param_dtype)
 
-    def encode(self, video):
+    def encode(self, video, first_chunk: bool = True):
         x = jnp.transpose(video, (0, 2, 3, 4, 1)).astype(self.dtype)  # -> BTHWC
-        moments = self.encoder(x)
+        moments = self.encoder(x, first_chunk)
         return jnp.transpose(moments, (0, 4, 1, 2, 3)).astype(jnp.float32)
 
-    def decode(self, latents):
+    def decode(self, latents, first_chunk: bool = True):
         z = jnp.transpose(latents, (0, 2, 3, 4, 1)).astype(self.dtype)
-        video = self.decoder(z)
+        video = self.decoder(z, first_chunk)
         return jnp.transpose(video, (0, 4, 1, 2, 3)).astype(jnp.float32)
 
     def decode_tiled(self, latents, tile_latent_h: int = 24,
@@ -421,3 +440,46 @@ def tiled_decode(
     weight0 = jnp.zeros((1, 1, 1, Hp, Wp), jnp.float32)
     (canvas, weight), _ = jax.lax.scan(body, (canvas0, weight0), jnp.asarray(positions))
     return (canvas / weight)[:, :, :, : H * sf, : W * sf]
+
+
+def encode_chunked(vae: "CausalVAE", params, video, chunk_frames: int = 8):
+    """Frame-chunked streaming encode with conv caches: video [B,C,T,H,W]
+    (T = 8n+1) processed as [1, chunk, chunk, ...] raw-frame chunks — memory
+    scales with the chunk, enabling arbitrarily long clips. Conv caches make
+    the causal convs exact across chunk boundaries; GroupNorm statistics are
+    per-chunk (same approximation the reference's frame-batched vae._encode
+    makes)."""
+    T = video.shape[2]
+    bounds = [(0, 1)] + [(i, min(i + chunk_frames, T)) for i in range(1, T, chunk_frames)]
+    cache = {}
+    outs = []
+    for ci, (s, e) in enumerate(bounds):
+        variables = {"params": params["params"], **({"cache": cache} if cache else {})}
+        out, mut = vae.apply(
+            variables, video[:, :, s:e], first_chunk=(ci == 0),
+            method=vae.encode, mutable=["cache"],
+        )
+        cache = mut["cache"]
+        outs.append(out)
+    return jnp.concatenate(outs, axis=2)
+
+
+def decode_chunked(vae: "CausalVAE", params, latents, chunk_latent_frames: int = 2):
+    """Frame-chunked streaming decode (latents [B,C,T',H,W], T' odd):
+    chunks [1, k, k, ...] latent frames with conv caches; the first chunk
+    carries the single leading frame so temporal upsampling matches the
+    full-clip layout."""
+    T = latents.shape[2]
+    bounds = [(0, 1)] + [(i, min(i + chunk_latent_frames, T))
+                         for i in range(1, T, chunk_latent_frames)]
+    cache = {}
+    outs = []
+    for ci, (s, e) in enumerate(bounds):
+        variables = {"params": params["params"], **({"cache": cache} if cache else {})}
+        out, mut = vae.apply(
+            variables, latents[:, :, s:e], first_chunk=(ci == 0),
+            method=vae.decode, mutable=["cache"],
+        )
+        cache = mut["cache"]
+        outs.append(out)
+    return jnp.concatenate(outs, axis=2)

@@ -72,3 +72,64 @@ def test_roundtrip_runs_and_is_finite(vae_and_params):
     assert y.shape == x.shape
     assert bool(jnp.all(jnp.isfinite(y)))
     assert bool(jnp.all(jnp.isfinite(moments)))
+
+
+def test_chunked_encode_matches_conv_causality(vae_and_params):
+    """Chunked streaming encode: shapes + cross-chunk continuity. GroupNorm
+    stats are per-chunk (reference frame-batching makes the same
+    approximation), so we check shape law + finiteness + that conv caches
+    give DIFFERENT (continuous) results than naive independent chunks."""
+    from orv_tpu.models.vae import encode_chunked
+
+    vae, params = vae_and_params
+    x = jax.random.normal(jax.random.PRNGKey(7), (1, 3, 17, 32, 32)) * 0.5
+    m_chunked = encode_chunked(vae, params, x, chunk_frames=8)
+    assert m_chunked.shape == (1, 8, 5, 4, 4)
+    assert bool(jnp.all(jnp.isfinite(m_chunked)))
+    # naive independent chunks (first-frame pad everywhere) must differ:
+    # proves the caches actually carry temporal context across chunks
+    m_naive = jnp.concatenate([
+        vae.apply(params, x[:, :, :1], method=vae.encode),
+        vae.apply(params, x[:, :, 1:9], method=vae.encode, first_chunk=True),
+        vae.apply(params, x[:, :, 9:17], method=vae.encode, first_chunk=True),
+    ], axis=2)
+    assert np.abs(np.asarray(m_chunked) - np.asarray(m_naive)).max() > 1e-3
+
+
+def test_chunked_decode_shape_law(vae_and_params):
+    from orv_tpu.models.vae import decode_chunked
+
+    vae, params = vae_and_params
+    z = jax.random.normal(jax.random.PRNGKey(8), (1, 4, 5, 4, 4))
+    video = decode_chunked(vae, params, z, chunk_latent_frames=2)
+    assert video.shape == (1, 3, 17, 32, 32)
+    assert bool(jnp.all(jnp.isfinite(video)))
+
+
+def test_conv_cache_exactness():
+    """A pure conv stack (no norms) chunked with caches must EXACTLY match
+    the full-clip forward — pins the cache threading."""
+    import flax.linen as nn
+    from orv_tpu.models.vae import CausalConv3d
+
+    class ConvStack(nn.Module):
+        @nn.compact
+        def __call__(self, x, first_chunk: bool = True):
+            x = CausalConv3d(8, (3, 3, 3), dtype=jnp.float32, name="c1")(x, first_chunk)
+            x = nn.silu(x)
+            return CausalConv3d(4, (3, 3, 3), dtype=jnp.float32, name="c2")(x, first_chunk)
+
+    model = ConvStack()
+    x = jax.random.normal(jax.random.PRNGKey(9), (1, 10, 8, 8, 3))
+    params = model.init(jax.random.PRNGKey(0), x)
+    full = model.apply(params, x)
+    cache = {}
+    outs = []
+    for ci, (s, e) in enumerate([(0, 4), (4, 7), (7, 10)]):
+        variables = {"params": params["params"], **({"cache": cache} if cache else {})}
+        out, mut = model.apply(variables, x[:, s:e], first_chunk=(ci == 0),
+                               mutable=["cache"])
+        cache = mut["cache"]
+        outs.append(out)
+    chunked = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-5)
