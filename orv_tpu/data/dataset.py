@@ -311,11 +311,25 @@ class CascadedRobotDataset(RobotDataset):
 
 class MultiViewRobotDataset(RobotDataset):
     """n_view <= max_n_view views per sample; per-view latents are stacked
-    along the frame axis `(v f)` (reference dataset.py:1714-1969)."""
+    along the frame axis `(v f)` (reference dataset.py:1714-1969).
+
+    View-count subsampling for training happens at SAMPLE level (seeded at
+    init) so BucketSampler buckets stay shape-homogeneous — the reference
+    achieves the same effect with per-view-count data-ratio rebalancing."""
 
     def __init__(self, config: DatasetConfig, train_view_sampling: bool = True):
         self.train_view_sampling = train_view_sampling and config.split == "train"
         super().__init__(config)
+        if self.train_view_sampling:
+            rng = random.Random(config.seed + 1)
+            for s in self.samples:
+                if s["n_view"] > 1:
+                    s["n_view_use"] = rng.randint(1, s["n_view"])
+                else:
+                    s["n_view_use"] = s["n_view"]
+        else:
+            for s in self.samples:
+                s["n_view_use"] = s["n_view"]
 
     def _make_sample(self, ann, ann_file, frame_ids, is_sliced):
         s = super()._make_sample(ann, ann_file, frame_ids, is_sliced)
@@ -328,9 +342,7 @@ class MultiViewRobotDataset(RobotDataset):
     def _getitem(self, idx):
         cfg = self.config
         sample = self.samples[idx]
-        n_view = sample["n_view"]
-        if self.train_view_sampling and n_view > 1:
-            n_view = random.randint(1, n_view)
+        n_view = sample.get("n_view_use", sample["n_view"])
 
         with open(sample["ann_file"]) as f:
             ann = json.load(f)
@@ -443,7 +455,7 @@ class BucketSampler:
 
     def _key(self, i):
         s = self.dataset.samples[i]
-        return (s.get("n_view", 1),)
+        return (s.get("n_view_use", s.get("n_view", 1)),)
 
     def __iter__(self):
         rng = random.Random(self.seed)

@@ -78,7 +78,11 @@ def make_optimizer(
     weight_decay: float = 1e-3,
     max_grad_norm: float = 1.0,
     grad_accum_steps: int = 1,
+    trainable_predicate: Optional[Callable[[tuple], bool]] = None,
 ):
+    """trainable_predicate(path_keys) -> bool selectively freezes params
+    (reference _set_trainable_parameters: multiview stage trains only
+    mv_blocks, cogvideox_control.py:641-656)."""
     if optimizer not in ("adam", "adamw"):
         raise ValueError(f"unsupported optimizer {optimizer} (adam/adamw)")
     tx = optax.chain(
@@ -88,6 +92,15 @@ def make_optimizer(
             weight_decay=weight_decay if optimizer == "adamw" else 0.0,
         ),
     )
+    if trainable_predicate is not None:
+        def labels(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: "train" if trainable_predicate(
+                    tuple(getattr(p, "key", str(p)) for p in path)) else "freeze",
+                params,
+            )
+
+        tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx

@@ -145,9 +145,18 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None):
                 jnp.asarray(batch["latents_label"]), jax.random.fold_in(r_ctrl, 1), C, scaling
             ).astype(jnp.bfloat16)
 
+        if dit_cfg.use_rotary_positional_embeddings:
+            from orv_tpu.utils.embeddings import prepare_rotary_positional_embeddings
+
+            kwargs["image_rotary_emb"] = prepare_rotary_positional_embeddings(
+                height=H * 8, width=W * 8, num_frames=F_lat,
+                patch_size=dit_cfg.patch_size, patch_size_t=dit_cfg.patch_size_t,
+                attention_head_dim=dit_cfg.attention_head_dim,
+            )
         prompt_embeds = jnp.asarray(batch["prompt_embeds"]).astype(jnp.bfloat16)
         noise = jax.random.normal(r_noise, (B, F_lat, C, H, W), dtype=jnp.float32)
-        latents = sample_jit(params, noise, image_latents, prompt_embeds, r_samp, **kwargs)
+        latents = sample_jit(params, noise, image_latents, prompt_embeds, r_samp,
+                             num_views=int(batch.get("num_views", 1)), **kwargs)
 
         for j, i in enumerate(idxs):
             meta = batch["metainfos"][j]

@@ -204,6 +204,14 @@ def run_validation(cfg: Config, model: ControlDiT, dit_cfg: DiTConfig, params,
     kwargs = {}
     if "actions" in batch:
         kwargs["actions"] = jnp.asarray(batch["actions"][:1]).astype(jnp.bfloat16)
+    if dit_cfg.use_rotary_positional_embeddings:
+        from orv_tpu.utils.embeddings import prepare_rotary_positional_embeddings
+
+        kwargs["image_rotary_emb"] = prepare_rotary_positional_embeddings(
+            height=H * 8, width=W * 8, num_frames=F_lat,
+            patch_size=dit_cfg.patch_size, patch_size_t=dit_cfg.patch_size_t,
+            attention_head_dim=dit_cfg.attention_head_dim,
+        )
     prompt = jnp.asarray(batch["prompt_embeds"][:1]).astype(jnp.bfloat16)
     noise = jax.random.normal(r_noise, (1, F_lat, C, H, W), dtype=jnp.float32)
     latents = jax.jit(sampler)(params, noise, image_latents, prompt, r_samp, **kwargs)
@@ -252,11 +260,16 @@ def train(cfg: Config):
         total_steps,
         int(tcfg.get("lr_num_cycles", 1)),
     )
+    trainable = None
+    if cfg.get("multiview"):
+        # multiview stage: only the cross-view blocks train
+        trainable = lambda path: "mv_block" in path
     tx = make_optimizer(
         lr, opt.get("type", "adamw"), opt.get("beta1", 0.9), opt.get("beta2", 0.95),
         opt.get("epsilon", 1e-8), opt.get("weight_decay", 1e-3),
         opt.get("max_grad_norm", 1.0),
         int(tcfg.get("gradient_accumulation_steps", 1)),
+        trainable_predicate=trainable,
     )
 
     shardings = param_shardings(params, mesh)
@@ -273,12 +286,39 @@ def train(cfg: Config):
         CONSOLE.log(f"resumed from step {start_step}")
 
     schedule = make_schedule()
+    # RoPE models need the rotary tables built for the training grid
+    image_rotary_emb = None
+    if dit_cfg.use_rotary_positional_embeddings:
+        from orv_tpu.utils.embeddings import prepare_rotary_positional_embeddings
+
+        F_lat = first["latents"].shape[2]
+        h_lat, w_lat = first["latents"].shape[3], first["latents"].shape[4]
+        image_rotary_emb = prepare_rotary_positional_embeddings(
+            height=h_lat * 8, width=w_lat * 8, num_frames=F_lat,
+            patch_size=dit_cfg.patch_size, patch_size_t=dit_cfg.patch_size_t,
+            attention_head_dim=dit_cfg.attention_head_dim,
+        )
     step_fn = make_train_step(
         model.apply, tx, schedule, mesh=mesh,
         vae_scaling_factor=float(cfg.get("vae", {}).get("scaling_factor", 1.15258426)),
         noised_image_dropout=float(tcfg.get("noised_image_dropout", 0.05)),
         recon_action=bool(cfg.get("recon_action", False)),
+        image_rotary_emb=image_rotary_emb,
     )
+    # multiview batches are bucket-homogeneous in view count but the count
+    # varies across buckets: specialize the jitted step per num_views
+    _step_cache = {1: step_fn}
+
+    def step_for(nv: int):
+        if nv not in _step_cache:
+            _step_cache[nv] = make_train_step(
+                model.apply, tx, schedule, mesh=mesh,
+                vae_scaling_factor=float(cfg.get("vae", {}).get("scaling_factor", 1.15258426)),
+                noised_image_dropout=float(tcfg.get("noised_image_dropout", 0.05)),
+                recon_action=bool(cfg.get("recon_action", False)),
+                num_views=nv, image_rotary_emb=image_rotary_emb,
+            )
+        return _step_cache[nv]
     rng = jax.random.PRNGKey(seed)
     bsh = batch_sharding(mesh)
     tracker = Tracker(str(out_dir / "logs"), cfg.get("tracker_name"),
@@ -301,7 +341,8 @@ def train(cfg: Config):
     t_last = time.time()
     batch = first
     for step in range(start_step, total_steps):
-        state, metrics = step_fn(state, to_device(batch), rng)
+        nv = int(batch.get("num_views", 1)) if cfg.get("multiview") else 1
+        state, metrics = step_for(nv)(state, to_device(batch), rng)
         if (step + 1) % log_every == 0 or step == start_step:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
             dt = (time.time() - t_last) / (log_every if step > start_step else 1)

@@ -112,3 +112,38 @@ def test_lr_schedule_shapes():
     assert abs(float(lr(10)) - 2e-4) < 1e-9
     assert float(lr(100)) == 0.0
     assert float(lr(55)) > 0  # mid-cycle
+
+
+def test_trainable_predicate_freezes_params():
+    """multiview stage: only mv_block params update (reference
+    _set_trainable_parameters)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, multiview=True, max_n_view=2, recon_action=False)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    V, F = 2, 3
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, V * F, 32, 8, 16))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 32))
+    params = model.init(jax.random.PRNGKey(0), x, enc, jnp.zeros((4,), jnp.int32),
+                        num_views=V)
+    from orv_tpu.schedulers import make_schedule
+
+    lr = make_lr_schedule(total_steps=100, warmup_steps=0)
+    tx = make_optimizer(lr, trainable_predicate=lambda p: "mv_block" in p)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(2), (4, 32, V * F, 8, 16)),
+        "image_latents": jax.random.normal(jax.random.PRNGKey(3), (4, 32, V, 8, 16)),
+        "prompt_embeds": jax.random.normal(jax.random.PRNGKey(4), (4, 8, 32)),
+    }
+    step = make_train_step(model.apply, tx, make_schedule(), num_views=V,
+                           fold_rng=False)
+    p0 = jax.device_get(state.params)
+    state, m = step(state, batch, jax.random.PRNGKey(5))
+    p1 = jax.device_get(state.params)
+    frozen = np.abs(p1["params"]["blocks"]["block"]["attn1"]["to_q"]["kernel"]
+                    - p0["params"]["blocks"]["block"]["attn1"]["to_q"]["kernel"]).max()
+    moved = np.abs(p1["params"]["blocks"]["mv_block"]["attn1"]["to_q"]["kernel"]
+                   - p0["params"]["blocks"]["mv_block"]["attn1"]["to_q"]["kernel"]).max()
+    assert frozen == 0.0
+    assert moved > 0.0
