@@ -527,3 +527,83 @@ class ActionRecon(nn.Module):
         if self.compress_ratio > 1:
             h = h.reshape(B, F * self.compress_ratio, self.state_dim)
         return h[:, 1:]  # drop the padded first frame
+
+
+class FloatGroupNorm(nn.Module):
+    """GroupNorm computed in the param dtype then cast back (reference
+    components.py:107-109). Aux module for the Fuser."""
+
+    groups: int
+    channels: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.channels,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), self.param_dtype)
+        orig = x.dtype
+        xf = x.astype(jnp.float32)
+        g = xf.reshape(*xf.shape[:-1], self.groups, self.channels // self.groups)
+        mean = g.mean(axis=(-3, -1), keepdims=True) if xf.ndim >= 3 else g.mean(-1, keepdims=True)
+        var = g.var(axis=(-3, -1), keepdims=True) if xf.ndim >= 3 else g.var(-1, keepdims=True)
+        g = (g - mean) * jax.lax.rsqrt(var + 1e-5)
+        y = g.reshape(xf.shape) * scale + bias
+        return y.astype(orig)
+
+
+class Fuser(nn.Module):
+    """Spatio-temporal FiLM over action hidden states (reference
+    components.py:121-162). Defined by the reference but UNREFERENCED by
+    its main training/inference path — provided for inventory parity and
+    experimentation; zero-init temporal projections make it an identity
+    at init."""
+
+    action_in_channel: int = 128
+    out_channels: int = 1152
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, action_hidden_states):
+        # h: [B, F, P, D]; action_hidden_states: [B, F, P, action_in_channel]
+        B, F, P, D = action_hidden_states.shape
+        dense = lambda feats, name, zero=False: nn.Dense(
+            feats, kernel_init=nn.initializers.zeros if zero else torch_linear_init,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name,
+        )
+        gamma = dense(self.out_channels // 4, "gamma_spatial")(action_hidden_states)
+        beta = dense(self.out_channels // 4, "beta_spatial")(action_hidden_states)
+        # temporal mixing over F, zero-init (identity at init)
+        gamma = rearrange(gamma, "b f p d -> (b p) f d")
+        beta = rearrange(beta, "b f p d -> (b p) f d")
+        gamma = dense(self.out_channels, "gamma_temporal", zero=True)(gamma)
+        beta = dense(self.out_channels, "beta_temporal", zero=True)(beta)
+        gamma = rearrange(gamma, "(b p) f d -> b f p d", p=P)
+        beta = rearrange(beta, "(b p) f d -> b f p d", p=P)
+        normed = FloatGroupNorm(min(32, h.shape[-1]), h.shape[-1], self.param_dtype,
+                                name="traj_cond_norm")(h)
+        return h + normed * gamma + beta
+
+
+class ConditioningEmbedding(nn.Module):
+    """ControlNet-style conv encoder for raw condition images (reference
+    components.py:165-197; defined but unused on the reference main path).
+    x: [B, H, W, C] -> [B, H/8, W/8, embed_channels]."""
+
+    embedding_channels: int
+    block_out_channels: Tuple[int, ...] = (16, 32, 96, 256)
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda feats, stride, name: nn.Conv(
+            feats, (3, 3), strides=(stride, stride), padding=1,
+            dtype=self.dtype, param_dtype=self.param_dtype, name=name,
+        )
+        h = nn.silu(conv(self.block_out_channels[0], 1, "conv_in")(x))
+        for i in range(len(self.block_out_channels) - 1):
+            h = nn.silu(conv(self.block_out_channels[i], 1, f"block_{2*i}")(h))
+            h = nn.silu(conv(self.block_out_channels[i + 1], 2, f"block_{2*i+1}")(h))
+        return conv(self.embedding_channels, 1, "conv_out")(h)

@@ -83,15 +83,20 @@ def make_optimizer(
     """trainable_predicate(path_keys) -> bool selectively freezes params
     (reference _set_trainable_parameters: multiview stage trains only
     mv_blocks, cogvideox_control.py:641-656)."""
-    if optimizer not in ("adam", "adamw"):
-        raise ValueError(f"unsupported optimizer {optimizer} (adam/adamw)")
-    tx = optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(
+    if optimizer in ("adam", "adamw"):
+        inner = optax.adamw(
             learning_rate_schedule, b1=beta1, b2=beta2, eps=epsilon,
             weight_decay=weight_decay if optimizer == "adamw" else 0.0,
-        ),
-    )
+        )
+    elif optimizer == "prodigy":
+        # reference optimizer factory supports prodigy (utils.py:16-163)
+        inner = optax.contrib.prodigy(
+            learning_rate=1.0, betas=(beta1, beta2), eps=epsilon,
+            weight_decay=weight_decay,
+        )
+    else:
+        raise ValueError(f"unsupported optimizer {optimizer} (adam/adamw/prodigy)")
+    tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
     if trainable_predicate is not None:
         def labels(params):
             return jax.tree_util.tree_map_with_path(
