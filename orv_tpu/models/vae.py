@@ -101,7 +101,9 @@ class CausalConv3d(nn.Module):
     def __call__(self, x, first_chunk: bool = True):
         kt, kh, kw = self.kernel
         if kt > 1:
-            streaming = self.is_mutable_collection("cache")
+            # streaming only when the caller explicitly opened a mutable
+            # "cache" collection at apply time (init must stay cache-free)
+            streaming = self.is_mutable_collection("cache") and not self.is_initializing()
             if first_chunk:
                 pad = jnp.repeat(x[:, :1], kt - 1, axis=1)
             else:
