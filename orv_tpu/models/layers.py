@@ -20,6 +20,11 @@ import jax.numpy as jnp
 from einops import rearrange, repeat
 
 from orv_tpu.ops.attention import attention
+
+# qk-LayerNorm bounds attention logits (|s| <= |q||k|/sqrt(d) with unit-var
+# rows times learned gains); 24.0 leaves ample headroom while enabling the
+# cheaper static-max flash kernel.
+QK_NORM_LOGIT_BOUND = 24.0
 from orv_tpu.utils.embeddings import apply_rotary_emb, get_3d_sincos_pos_embed
 
 Dtype = Any
@@ -249,7 +254,10 @@ class JointAttention(nn.Module):
             else:
                 q, k = q_vid, k_vid
 
-        out = attention(q, k, v, impl=self.attn_impl)  # [B, H, S, Dh]
+        out = attention(
+            q, k, v, impl=self.attn_impl,
+            static_max=QK_NORM_LOGIT_BOUND if self.qk_norm else None,
+        )  # [B, H, S, Dh]
         out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
         out = nn.Dense(
             inner, use_bias=self.out_bias, kernel_init=torch_linear_init,

@@ -164,10 +164,10 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None):
             lat_np = np.asarray(latents[j], dtype=np.float32)
             np.savez(out_dir / f"{name}_latents.npz", lat_np)
             if vae is not None:
+                from orv_tpu.models.vae import decode_chunked
+
                 z = jnp.asarray(lat_np)[None].transpose(0, 2, 1, 3, 4) / scaling
-                video = tiled_decode(
-                    lambda t: vae.apply(vae_params, t, method=vae.decode), z
-                )
+                video = decode_chunked(vae, vae_params, z, chunk_latent_frames=6)
                 pool.submit(save_video, str(out_dir / f"{name}.mp4"),
                             to_uint8(np.asarray(video[0])), int(ev.get("save_fps", 8)))
             results.append(name)
@@ -224,9 +224,10 @@ def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
                 # raw-frame offset -> latent frame (8n+1 causal structure)
                 f_lat_idx = min((int(nxt) + 3) // 4, F_lat - 1)
                 if vae is not None:
+                    from orv_tpu.models.vae import decode_chunked
+
                     z = latents[:, :, :].transpose(0, 2, 1, 3, 4) / scaling
-                    video = tiled_decode(
-                        lambda t: vae.apply(vae_params, t, method=vae.decode), z)
+                    video = decode_chunked(vae, vae_params, z, chunk_latent_frames=6)
                     raw_idx = min(int(nxt), video.shape[2] - 1)
                     frame = video[:, :, raw_idx : raw_idx + 1]  # [1, 3, 1, H, W]
                     moments = vae.apply(vae_params, frame, method=vae.encode)
@@ -241,10 +242,12 @@ def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
         np.savez(out_dir / f"{ep}_cascaded_latents.npz", stitched)
         if vae is not None:
             videos = []
+            from orv_tpu.models.vae import decode_chunked
+
             for ch in chunks_out:
                 z = jnp.asarray(ch)[None].transpose(0, 2, 1, 3, 4) / scaling
-                videos.append(np.asarray(tiled_decode(
-                    lambda t: vae.apply(vae_params, t, method=vae.decode), z)[0]))
+                videos.append(np.asarray(
+                    decode_chunked(vae, vae_params, z, chunk_latent_frames=6)[0]))
             video = np.concatenate(videos, axis=1)  # [3, sum T, H, W]
             save_video(str(out_dir / f"{ep}_cascaded.mp4"), to_uint8(video),
                        int(ev.get("save_fps", 8)))

@@ -72,7 +72,9 @@ def generate_video(
         jnp.asarray(prompt_embeds)[None].astype(jnp.bfloat16), r_samp, **kwargs,
     )
     z = latents.transpose(0, 2, 1, 3, 4) / scaling_factor
-    video = tiled_decode(lambda t: vae.apply(vae_params, t, method=vae.decode), z)
+    from orv_tpu.models.vae import decode_chunked
+
+    video = decode_chunked(vae, vae_params, z, chunk_latent_frames=6)
     return np.asarray(video[0])
 
 
