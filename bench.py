@@ -88,12 +88,12 @@ def _bench_vae():
                                        method=vae.decode))()
     from orv_tpu.models.vae import decode_chunked
     print("bench: compiling chunked VAE decode...", file=sys.stderr, flush=True)
-    jax.block_until_ready(decode_chunked(vae, vparams, z, chunk_latent_frames=4))
+    jax.block_until_ready(decode_chunked(vae, vparams, z, chunk_latent_frames=6))
     vae_time = float("inf")
     for i in range(2):
         zz = z * (1.0 + (i + 1) * 1e-6)  # vary inputs: the tunnel dedups
         t0 = time.time()
-        jax.block_until_ready(decode_chunked(vae, vparams, zz, chunk_latent_frames=4))
+        jax.block_until_ready(decode_chunked(vae, vparams, zz, chunk_latent_frames=6))
         vae_time = min(vae_time, time.time() - t0)
 
     return vae_time
@@ -107,8 +107,11 @@ def _run_phase_subprocess(phase: str) -> float:
 
     out = subprocess.run(
         [sys.executable, __file__, "--phase", phase],
-        capture_output=True, text=True, check=True,
+        capture_output=True, text=True,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-2000:])
+        raise RuntimeError(f"phase {phase} failed (rc={out.returncode})")
     return float(out.stdout.strip().splitlines()[-1])
 
 
