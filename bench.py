@@ -20,6 +20,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: compiles through the remote tunnel cost
+# 40-300s each; the cache survives across processes so the driver's runs
+# reuse this session's compiles.
+jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
 from orv_tpu.models import ControlDiT, DiTConfig
 from orv_tpu.models.vae import CausalVAE, VAEConfig
 
