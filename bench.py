@@ -128,8 +128,17 @@ def main():
         val = _bench_transformer() if phase == "transformer" else _bench_vae()
         print(val)
         return
-    best = _run_phase_subprocess("transformer")
-    vae_time = _run_phase_subprocess("vae")
+    def retry(phase, n=2):
+        last = None
+        for _ in range(n):
+            try:
+                return _run_phase_subprocess(phase)
+            except Exception as e:  # noqa: BLE001
+                last = e
+        raise last
+
+    best = retry("transformer")
+    vae_time = retry("vae")
     total = STEPS * best + vae_time
     fps = NUM_FRAMES / total
     print(json.dumps({
