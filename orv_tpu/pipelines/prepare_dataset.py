@@ -324,6 +324,66 @@ def run_stage_pipeline(stages: List[Stage], episode_keys: List[str]):
     return done
 
 
+def _episode_dirs(data_root: str) -> List[str]:
+    root = Path(data_root)
+    return sorted(str(p.parent) for p in root.glob("*/intrinsics.json"))
+
+
+def _labels_for(ep_dir: str, n_points_per_frame: List[int]) -> List[np.ndarray]:
+    """Per-frame point labels: {ep}/labels/*.npy if present, else zeros
+    (single 'scene' class) — the labeling stage is a pluggable backend."""
+    lab_dir = Path(ep_dir) / "labels"
+    files = sorted(lab_dir.glob("*.npy")) if lab_dir.exists() else []
+    if len(files) == len(n_points_per_frame):
+        return [np.load(f) for f in files]
+    return [np.zeros(n, dtype=np.int64) for n in n_points_per_frame]
+
+
+def run_reconstruction(data_root: str, backend: str = "depth_unproject",
+                       **voxel_kwargs):
+    """Built-in reconstruction: per-episode depth unprojection -> filtered
+    points -> labeled occupancy .npz (restartable, skip-if-exists)."""
+    recon = get_backend(backend)
+
+    def stage_fn(ep_dir: str):
+        out = Path(ep_dir) / "occupancy.npz"
+        result = recon(ep_dir)
+        pts = [statistical_outlier_removal(p) for p in result["points"]]
+        labels = _labels_for(ep_dir, [len(p) for p in pts])
+        occ = occupancy_from_frames(pts, labels, **voxel_kwargs)
+        np.savez(out,
+                 coors=np.concatenate([o["coors"] for o in occ]),
+                 labels=np.concatenate([o["labels"] for o in occ]),
+                 frame_sizes=np.array([len(o["coors"]) for o in occ]))
+
+    stages = [Stage("reconstruction", stage_fn,
+                    lambda k: str(Path(k) / "occupancy.npz"))]
+    return run_stage_pipeline(stages, _episode_dirs(data_root))
+
+
+def run_render(data_root: str, image_shape=(240, 320), **kwargs):
+    """Built-in render: occupancy.npz + poses/intrinsics -> per-episode
+    render.npz {semantics, depths, is_labeled} (reference get_render
+    output layout)."""
+
+    def stage_fn(ep_dir: str):
+        ep = Path(ep_dir)
+        data = np.load(ep / "occupancy.npz")
+        sizes = data["frame_sizes"]
+        occ, off = [], 0
+        for n in sizes:
+            occ.append({"coors": data["coors"][off:off + n],
+                        "labels": data["labels"][off:off + n]})
+            off += n
+        K = np.asarray(json.loads((ep / "intrinsics.json").read_text())["K"])
+        poses = np.load(ep / "poses.npy")
+        render_episode(occ, [poses[0]], [K], image_shape,
+                       out_path=str(ep / "render.npz"), **kwargs)
+
+    stages = [Stage("render", stage_fn, lambda k: str(Path(k) / "render.npz"))]
+    return run_stage_pipeline(stages, _episode_dirs(data_root))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--action", required=True,
@@ -332,11 +392,18 @@ def main(argv=None):
     p.add_argument("--backend", default="depth_unproject")
     p.add_argument("--split", default="train")
     args = p.parse_args(argv)
-    raise SystemExit(
-        f"action '{args.action}' requires dataset-specific wiring; import "
-        "orv_tpu.pipelines.prepare_dataset and compose the stage functions "
-        "(see render_episode / occupancy_from_frames / run_stage_pipeline)."
-    )
+    if args.action == "reconstruction":
+        done = run_reconstruction(args.data_root, args.backend)
+    elif args.action == "render":
+        done = run_render(args.data_root)
+    else:
+        raise SystemExit(
+            f"action '{args.action}' wraps external perception models "
+            "(VGGT / QwenVL / SAM2): register a backend via "
+            "orv_tpu.pipelines.prepare_dataset.register_backend and compose "
+            "cluster_label_vocab / align_depth_scale with run_stage_pipeline."
+        )
+    CONSOLE.log(f"{args.action}: {len(done)} episodes done")
 
 
 if __name__ == "__main__":

@@ -139,3 +139,21 @@ def test_schedule_is_pytree(sched):
         return add_noise(s, x, x, jnp.array([10]))
 
     f(sched, jnp.ones((1, 2, 2)))
+
+
+def test_schedule_golden_values(sched):
+    """Frozen alphas_cumprod at sentinel timesteps — any change to the beta
+    schedule / SNR shift / zero-terminal-SNR math is a silent quality
+    regression for pretrained CogVideoX checkpoints, so lock the numbers."""
+    golden = {
+        0: 0.9974543452262878,
+        1: 0.9948006272315979,
+        250: 0.38905370235443115,
+        500: 0.09532810002565384,
+        750: 0.010838901624083519,
+        998: 6.230788329730785e-08,
+        999: 9.99999993922529e-09,  # clip(1e-8) after zero-terminal rescale
+    }
+    abar = np.asarray(sched.alphas_cumprod, dtype=np.float64)
+    for t, v in golden.items():
+        np.testing.assert_allclose(abar[t], v, rtol=1e-6)
