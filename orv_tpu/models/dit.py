@@ -95,6 +95,7 @@ class _BlockCell(nn.Module):
     attn_impl: str
     dtype: Dtype
     param_dtype: Dtype
+    sp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(self, carry, temb, rope, action_emb, rope_view):
@@ -102,6 +103,8 @@ class _BlockCell(nn.Module):
         c = self.cfg
         kw = dict(attn_impl=self.attn_impl, dtype=self.dtype, param_dtype=self.param_dtype)
         if c.multiview:
+            # cross-view attention stays sequence-resident (v*s tokens per
+            # frame is small); only the main joint attention rings over sp
             hidden = MVBlock(
                 dim=c.inner_dim, heads=c.num_attention_heads, head_dim=c.attention_head_dim,
                 time_embed_dim=c.time_embed_dim, modulate_enc=c.modulate_encoder_hidden_states,
@@ -110,7 +113,8 @@ class _BlockCell(nn.Module):
         hidden, enc = DiTBlock(
             dim=c.inner_dim, heads=c.num_attention_heads, head_dim=c.attention_head_dim,
             time_embed_dim=c.time_embed_dim, modulate_enc=c.modulate_encoder_hidden_states,
-            attention_bias=c.attention_bias, norm_eps=c.norm_eps, name="block", **kw,
+            attention_bias=c.attention_bias, norm_eps=c.norm_eps,
+            sp_mesh=self.sp_mesh, name="block", **kw,
         )(hidden, enc, temb, rope, action_emb)
         return (hidden, enc), None
 
@@ -121,6 +125,11 @@ class ControlDiT(nn.Module):
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
     remat: bool = False
+    # sequence-parallel: a jax.sharding.Mesh with an `sp` axis routes every
+    # block's joint attention through ring attention (video tokens sharded,
+    # text replicated); all other ops are token-elementwise so XLA keeps
+    # them sharded for free. Capability beyond the reference (SURVEY §5.7).
+    sp_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -248,7 +257,8 @@ class ControlDiT(nn.Module):
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(
             cfg=c, n_view=num_views, n_frame=num_frames, attn_impl=self.attn_impl,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="blocks",
+            dtype=self.dtype, param_dtype=self.param_dtype, sp_mesh=self.sp_mesh,
+            name="blocks",
         )
         (hidden, enc), _ = stack(
             (hidden, enc), temb, image_rotary_emb, action_emb, image_rotary_emb_view

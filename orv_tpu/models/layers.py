@@ -216,6 +216,8 @@ class JointAttention(nn.Module):
     bias: bool = True
     out_bias: bool = True
     attn_impl: str = "auto"
+    sp_mesh: Optional[Any] = None  # jax.sharding.Mesh with an `sp` axis
+    sp_axis: str = "sp"
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -254,10 +256,22 @@ class JointAttention(nn.Module):
             else:
                 q, k = q_vid, k_vid
 
-        out = attention(
-            q, k, v, impl=self.attn_impl,
-            static_max=QK_NORM_LOGIT_BOUND if self.qk_norm else None,
-        )  # [B, H, S, Dh]
+        sp_size = self.sp_mesh.shape[self.sp_axis] if self.sp_mesh is not None else 1
+        if sp_size > 1 and (S - text_len) % sp_size == 0:
+            # sequence-parallel: video tokens ring over the `sp` axis,
+            # text replicated (ops/ring_attention.py)
+            from orv_tpu.ops.ring_attention import joint_ring_attention, ring_attention
+            if text_len > 0:
+                out = joint_ring_attention(q, k, v, text_len, self.sp_mesh,
+                                           self.sp_axis, impl=self.attn_impl)
+            else:
+                out = ring_attention(q, k, v, self.sp_mesh, self.sp_axis,
+                                     impl=self.attn_impl)
+        else:
+            out = attention(
+                q, k, v, impl=self.attn_impl,
+                static_max=QK_NORM_LOGIT_BOUND if self.qk_norm else None,
+            )  # [B, H, S, Dh]
         out = out.transpose(0, 2, 1, 3).reshape(B, S, inner)
         out = nn.Dense(
             inner, use_bias=self.out_bias, kernel_init=torch_linear_init,
@@ -304,6 +318,7 @@ class DiTBlock(nn.Module):
     qk_norm: bool = True
     norm_eps: float = 1e-5
     attn_impl: str = "auto"
+    sp_mesh: Optional[Any] = None
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -315,7 +330,8 @@ class DiTBlock(nn.Module):
         norm2 = AdaLNZero(self.time_embed_dim, self.dim, self.modulate_enc,
                           self.norm_eps, name="norm2", **kw)
         attn = JointAttention(self.heads, self.head_dim, self.qk_norm,
-                              self.attention_bias, True, self.attn_impl, name="attn1", **kw)
+                              self.attention_bias, True, self.attn_impl,
+                              sp_mesh=self.sp_mesh, name="attn1", **kw)
         ff = FeedForward(self.dim, name="ff", **kw)
 
         n_hidden, n_enc, gate, enc_gate = norm1(hidden, enc, temb, action_emb)

@@ -52,6 +52,96 @@ def _ring_body(q_blk, k_blk, v_blk, axis: str, scale: float, impl: str):
     return out.astype(q_blk.dtype)
 
 
+def _lse_combine(out_a, lse_a, out_b, lse_b):
+    """Merge two partial attention results (f32 out, f32 lse) exactly."""
+    lse = jnp.logaddexp(lse_a, lse_b)
+    w_a = jnp.exp(lse_a - lse)[..., None]
+    w_b = jnp.exp(lse_b - lse)[..., None]
+    return out_a * w_a + out_b * w_b, lse
+
+
+def _joint_ring_body(q_t, k_t, v_t, q_v, k_v, v_v, axis: str, scale: float,
+                     impl: str):
+    """Per-device body: text tokens replicated, video tokens sharded on
+    `axis`. Exact joint [text|video] attention via logsumexp merging:
+
+      video queries: attend text KV (resident) + every video KV chunk
+                     (rotating ring, ppermute over ICI neighbors);
+      text queries:  attend text KV (resident) + the local video chunk,
+                     then a psum in probability space merges the per-device
+                     partials (text is ~226 tokens — the collective is tiny).
+    """
+    n = jax.lax.axis_size(axis)
+    perm = [(j, (j + 1) % n) for j in range(n)]
+
+    # --- video queries ---
+    out_a, lse_a = attention_with_lse(q_v, k_t, v_t, scale, impl)
+    out_b, lse_b = attention_with_lse(q_v, k_v, v_v, scale, impl)
+    out_acc, lse_acc = _lse_combine(out_a.astype(jnp.float32), lse_a,
+                                    out_b.astype(jnp.float32), lse_b)
+
+    def step(carry, _):
+        acc, lse, k_cur, v_cur = carry
+        k_nxt = jax.lax.ppermute(k_cur, axis, perm)
+        v_nxt = jax.lax.ppermute(v_cur, axis, perm)
+        out_i, lse_i = attention_with_lse(q_v, k_nxt, v_nxt, scale, impl)
+        acc, lse = _lse_combine(acc, lse, out_i.astype(jnp.float32), lse_i)
+        return (acc, lse, k_nxt, v_nxt), None
+
+    (out_vid, _, _, _), _ = jax.lax.scan(
+        step, (out_acc, lse_acc, k_v, v_v), None, length=n - 1
+    )
+
+    # --- text queries ---
+    out_tt, lse_tt = attention_with_lse(q_t, k_t, v_t, scale, impl)
+    out_tv, lse_tv = attention_with_lse(q_t, k_v, v_v, scale, impl)
+    m = jnp.maximum(jax.lax.pmax(lse_tv, axis), lse_tt)
+    num = jax.lax.psum(
+        jnp.exp(lse_tv - m)[..., None] * out_tv.astype(jnp.float32), axis
+    ) + jnp.exp(lse_tt - m)[..., None] * out_tt.astype(jnp.float32)
+    den = jax.lax.psum(jnp.exp(lse_tv - m), axis) + jnp.exp(lse_tt - m)
+    out_txt = num / den[..., None]
+
+    return out_txt.astype(q_t.dtype), out_vid.astype(q_v.dtype)
+
+
+def joint_ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    text_len: int,
+    mesh: Mesh,
+    axis: str = "sp",
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Exact joint [text|video] attention over [B, H, T+S, D] with the
+    video token range sequence-sharded on `axis` and the text range
+    replicated (text is 226 tokens — sharding it would leave ragged
+    chunks; replicating it costs one tiny psum instead).
+
+    This is the sequence-parallel path of the DiT's JointAttention: the
+    reference has no SP at all (SURVEY.md §5.7); here longer clips shard
+    their ~8k video tokens over the ICI ring while every device keeps its
+    query chunk resident. S must divide by the axis size.
+    """
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    t_spec = P(None, None, None, None)
+    v_spec = P(None, None, axis, None)
+    fn = shard_map(
+        functools.partial(_joint_ring_body, axis=axis, scale=float(scale),
+                          impl=impl),
+        mesh=mesh,
+        in_specs=(t_spec, t_spec, t_spec, v_spec, v_spec, v_spec),
+        out_specs=(t_spec, v_spec),
+        check_rep=False,
+    )
+    out_t, out_v = fn(q[:, :, :text_len], k[:, :, :text_len], v[:, :, :text_len],
+                      q[:, :, text_len:], k[:, :, text_len:], v[:, :, text_len:])
+    return jnp.concatenate([out_t, out_v], axis=2)
+
+
 def ring_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
