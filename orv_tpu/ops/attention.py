@@ -136,16 +136,27 @@ def _fwd_kernel_static_max(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr,
     s_t = jax.lax.dot_general(
         k_ref[0], q_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )  # [bk, bq]
-    if kv_len % block_k != 0:
-        key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
-        not_last = ki != nk - 1
-        s_t = jnp.where(jnp.logical_or(not_last, key_idx < kv_len), s_t, NEG_INF)
 
-    p_t = jnp.exp(s_t - static_max)
-    acc_scr[:] += jax.lax.dot_general(
-        v_ref[0], p_t.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    def accumulate(s_t):
+        p_t = jnp.exp(s_t - static_max)
+        acc_scr[:] += jax.lax.dot_general(
+            v_ref[0], p_t.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if kv_len % block_k != 0:
+        # the iota/compare/select chain nearly doubles the VPU work per
+        # tile — predicate it so only the one ragged KV block pays
+        @pl.when(ki != nk - 1)
+        def _full():
+            accumulate(s_t)
+
+        @pl.when(ki == nk - 1)
+        def _ragged():
+            key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+            accumulate(jnp.where(key_idx < kv_len, s_t, NEG_INF))
+    else:
+        accumulate(s_t)
 
     @pl.when(ki == nk - 1)
     def _finish():
@@ -154,6 +165,151 @@ def _fwd_kernel_static_max(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr,
         o_ref[0] = (acc_scr[:d_model] / l_safe).T.astype(o_ref.dtype)
         lse = (static_max + jnp.log(l_safe)).T
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
+
+
+def _fwd_kernel_q8(q_ref, k_ref, v_ref, sk_ref, o_ref, lse_ref, acc_scr, q8_scr,
+                   sq_scr, *, kv_len, q_len, block_q, block_k, d_model, static_max):
+    """int8-QK^T variant of the transposed static-max kernel.
+
+    The score matmul runs on the MXU in int8 (2x bf16 throughput — the
+    contraction is only head_dim 64, so QK^T is MXU-bound either way).
+    The q tile is quantized IN-kernel once per q block into an int8 scratch
+    (per-token scales along lanes — effectively free, amortized over the KV
+    sweep). k arrives already mean-smoothed and int8-quantized with one
+    scale per (head, k-block) riding SMEM: smoothing makes k's range tame
+    enough for block scalars (softmax is invariant to the per-query logit
+    shift smoothing introduces — the SageAttention recipe), and int8 k in
+    HBM also halves its DMA. PV stays bf16: exact given p.
+
+    Inference-only: not differentiable, and the emitted lse is shifted per
+    query by q·k_mean (harmless — nothing consumes lse on this path)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+        qf = q_ref[0].astype(jnp.float32)  # [d, bq]
+        sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=0, keepdims=True), 1e-6)
+        q8_scr[:] = jnp.round(qf * (127.0 / sq)).astype(jnp.int8)
+        sq_scr[:] = jnp.broadcast_to(sq * (1.0 / 127.0), sq_scr.shape)
+
+    s32 = jax.lax.dot_general(
+        k_ref[0], q8_scr[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [bk, bq]
+    # both scales ride the lane-oriented per-token q vector: one fused pass
+    sk = sk_ref[pl.program_id(0), ki]
+    s_t = s32.astype(jnp.float32) * (sq_scr[:1] * sk)
+
+    def accumulate(s_t):
+        p_t = jnp.exp(s_t - static_max)
+        acc_scr[:] += jax.lax.dot_general(
+            v_ref[0], p_t.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if kv_len % block_k != 0:
+        # predicated so only the one ragged KV block pays for masking
+        @pl.when(ki != nk - 1)
+        def _full():
+            accumulate(s_t)
+
+        @pl.when(ki == nk - 1)
+        def _ragged():
+            key_idx = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+            accumulate(jnp.where(key_idx < kv_len, s_t, NEG_INF))
+    else:
+        accumulate(s_t)
+
+    @pl.when(ki == nk - 1)
+    def _finish():
+        l = acc_scr[d_model:d_model + 1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:d_model] / l_safe).T.astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to((static_max + jnp.log(l_safe)).T, lse_ref.shape[1:])
+
+
+def _fwd_q8(q, k, v, scale, block_q, block_k, static_max):
+    """Layout mirrors _fwd; the only extra host-side work vs the bf16 path
+    is k's per-head token-mean smoothing (two cheap passes over k)."""
+    B, H, S, D = q.shape
+    Skv = k.shape[2]
+    Sq_pad = pl.cdiv(S, block_q) * block_q
+    Skv_pad = pl.cdiv(Skv, block_k) * block_k
+    bh = B * H
+    Dv = max(_round_up(D + 1, LANES), LANES)
+
+    k = k - k.mean(axis=2, keepdims=True)  # per-head token-mean smoothing
+    qp = (jnp.pad(q, ((0, 0), (0, 0), (0, Sq_pad - S), (0, 0))) * jnp.asarray(scale, q.dtype)
+          ).reshape(bh, Sq_pad, D).swapaxes(1, 2)  # [bh, D, Sq]
+    nk_blocks = Skv_pad // block_k
+    kb = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_pad - Skv), (0, 0))
+                 ).reshape(bh, nk_blocks, block_k, D).astype(jnp.float32)
+    sk = jnp.maximum(jnp.max(jnp.abs(kb), axis=(2, 3)), 1e-6)  # [bh, nk]
+    k8 = jnp.round(kb * (127.0 / sk[:, :, None, None])).astype(jnp.int8
+                   ).reshape(bh, Skv_pad, D)
+    sk_r = sk / 127.0
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_pad - Skv), (0, 0))).reshape(bh, Skv_pad, D)
+    ones = jnp.ones((bh, Skv_pad, 1), dtype=v.dtype)
+    vp = jnp.concatenate([vp, ones, jnp.zeros((bh, Skv_pad, Dv - D - 1), v.dtype)],
+                         axis=-1).swapaxes(1, 2)  # [bh, Dv, Skv]
+
+    grid = (bh, Sq_pad // block_q, Skv_pad // block_k)
+    out, _ = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_q8, kv_len=Skv, q_len=S, block_q=block_q,
+            block_k=block_k, d_model=D, static_max=float(static_max),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, D, block_q), lambda b, qi, ki: (b, 0, qi)),
+            pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
+            pl.BlockSpec((1, Dv, block_k), lambda b, qi, ki: (b, 0, ki)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # sk [bh, nk] whole in SMEM
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
+            pl.BlockSpec((1, block_q, LANES), lambda b, qi, ki: (b, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, Sq_pad, D), q.dtype),
+            jax.ShapeDtypeStruct((bh, Sq_pad, LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((Dv, block_q), jnp.float32),
+            pltpu.VMEM((D, block_q), jnp.int8),
+            pltpu.VMEM((8, block_q), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * S * Skv * D * bh,
+            bytes_accessed=(qp.size * 2 + k8.size + vp.size * 2),
+            transcendentals=S * Skv * bh,
+        ),
+        interpret=_interpret(),
+    )(qp, k8, vp, sk_r)
+    return out.reshape(B, H, Sq_pad, D)[:, :, :S]
+
+
+def flash_attention_q8(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 1024,
+    block_k: int = 2048,
+    static_max: float = 24.0,
+) -> jnp.ndarray:
+    """Inference-only flash attention with the QK^T matmul in int8
+    (per-token scales + k mean-smoothing). ~2x the score-matmul throughput
+    on the v5e MXU; PV stays bf16. Not differentiable."""
+    if scale is None:
+        scale = 1.0 / math.sqrt(q.shape[-1])
+    block_q = _pick_block(q.shape[2], block_q, 128)
+    block_k = _pick_block(k.shape[2], block_k, 128)
+    return _fwd_q8(q, k, v, float(scale), block_q, block_k, static_max)
 
 
 def _fwd(q, k, v, scale, block_q, block_k, static_max=None):
@@ -442,6 +598,9 @@ def attention(q, k, v, scale=None, impl: str = "auto", static_max: Optional[floa
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
     if impl == "flash":
         return flash_attention(q, k, v, scale, static_max=static_max)
+    if impl == "flash_q8":
+        return flash_attention_q8(q, k, v, scale,
+                                  static_max=static_max if static_max else 24.0)
     return mha_reference(q, k, v, scale)
 
 

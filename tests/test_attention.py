@@ -46,3 +46,17 @@ def test_cross_attention_shapes():
     out = flash_attention(q, k, v, block_q=128, block_k=128)
     ref = mha_reference(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_q8_close_to_reference():
+    """int8-QK^T inference kernel: per-token q scales + smoothed block-scaled
+    k keep the output within ~4x bf16 rounding of the exact result."""
+    from orv_tpu.ops.attention import flash_attention_q8
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 300, 64)) * 0.7
+    k = jax.random.normal(jax.random.PRNGKey(1), q.shape) * 0.7 + 0.4  # nonzero mean
+    v = jax.random.normal(jax.random.PRNGKey(2), q.shape)
+    out = flash_attention_q8(q, k, v, block_q=128, block_k=128)
+    ref = mha_reference(q, k, v)
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err < 8e-3, err
