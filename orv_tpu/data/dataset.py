@@ -42,6 +42,95 @@ from orv_tpu.utils.logging import CONSOLE
 C_ACT_SCALER = np.array([20.0, 20.0, 20.0, 20.0, 20.0, 20.0, 1.0])
 
 
+def generate_colors(n: int = 60):
+    """HSV color wheel (reference dataset.py:144-152); the last color is
+    forced to black for the background label."""
+    import colorsys
+
+    out = []
+    for i in range(n):
+        r, g, b = colorsys.hsv_to_rgb(i / n, 0.75, 0.95)
+        out.append((int(r * 255), int(g * 255), int(b * 255)))
+    return out
+
+
+COLORS60 = np.asarray(generate_colors(60), dtype=np.float32)
+COLORS60[-1] = 0.0
+
+
+def apply_semantic_colormap(sem: np.ndarray) -> np.ndarray:
+    """Label-index map [F, H, W] -> color video [F, 3, H, W] in [0, 1]
+    (reference _apply_semantic_colormap, dataset.py:642-658)."""
+    return COLORS60[sem.astype(np.int64) % 60].transpose(0, 3, 1, 2) / 255.0
+
+
+# -- raw-frame transforms (reference dataset.py:253-298) ---------------------
+
+def aspect_resize_hw(ori_size, video_size) -> Tuple[int, int]:
+    """Aspect-preserving intermediate size: the dimension that would leave
+    letterboxing is scaled so the center crop to video_size is tight."""
+    ori_h, ori_w = ori_size
+    if (video_size[1] / video_size[0]) < (ori_w / ori_h):
+        return video_size[0], int(ori_w * (video_size[0] / ori_h))
+    return int(ori_h * (video_size[1] / ori_w)), video_size[1]
+
+
+def _resize(frames: np.ndarray, hw, nearest: bool = False) -> np.ndarray:
+    """[F, H, W(, C)] resize via cv2 (bilinear ~ torchvision Resize)."""
+    import cv2
+
+    interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
+    out = [cv2.resize(f, (int(hw[1]), int(hw[0])), interpolation=interp)
+           for f in frames]
+    return np.stack(out)
+
+
+def _center_crop(frames: np.ndarray, hw) -> np.ndarray:
+    th, tw = int(hw[0]), int(hw[1])
+    H, W = frames.shape[1], frames.shape[2]
+    top, left = max(0, (H - th) // 2), max(0, (W - tw) // 2)
+    out = frames[:, top:top + th, left:left + tw]
+    if out.shape[1] != th or out.shape[2] != tw:  # pad when smaller
+        ph, pw = th - out.shape[1], tw - out.shape[2]
+        pad = ((0, 0), (ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2))
+        out = np.pad(out, pad + ((0, 0),) * (out.ndim - 3))
+    return out
+
+
+def video_transform(frames_u8: np.ndarray, ori_size, video_size,
+                    normalize: bool = True) -> np.ndarray:
+    """[F, H, W, 3] uint8 -> float32 [F, 3, H', W'] in [-1, 1]: /255,
+    aspect-preserving bilinear resize, center crop, normalize (reference
+    video_transforms)."""
+    x = frames_u8.astype(np.float32) / 255.0
+    x = _resize(x, aspect_resize_hw(ori_size or frames_u8.shape[1:3], video_size))
+    x = _center_crop(x, video_size)
+    if normalize:
+        x = x * 2.0 - 1.0
+    return x.transpose(0, 3, 1, 2)
+
+
+def cond_transform(maps: np.ndarray, ori_size, video_size,
+                   nearest: bool = False) -> np.ndarray:
+    """Reference depth/label_transforms: resize shorter side to ori_h,
+    center-crop (ori_h, ori_w), then aspect resize + crop to video_size.
+    maps: [F, H, W] (depth) or [F, 3, H, W] already-colored labels."""
+    chan_first = maps.ndim == 4
+    if chan_first:
+        maps = maps.transpose(0, 2, 3, 1)
+    ori_h, ori_w = ori_size
+    h, w = maps.shape[1], maps.shape[2]
+    if min(h, w) != ori_h:
+        s = ori_h / min(h, w)
+        maps = _resize(maps, (round(h * s), round(w * s)), nearest)
+    maps = _center_crop(maps, (ori_h, ori_w))
+    maps = _resize(maps, aspect_resize_hw((ori_h, ori_w), video_size), nearest)
+    maps = _center_crop(maps, video_size)
+    if chan_first:
+        return maps.transpose(0, 3, 1, 2)
+    return maps
+
+
 @dataclasses.dataclass
 class DatasetConfig:
     """Field names mirror the reference YAML dataset blocks
@@ -77,11 +166,23 @@ class DatasetConfig:
     empty_prompt: bool = True
     control_keys: Sequence[str] = ("depth", "label")
     accumulate_action: bool = False
+    # multi-ref conditioning (reference ref_num / num_observation: [1,5,9],
+    # dataset.py:609-633): int, or list sampled per batch by BucketSampler
+    ref_num: Any = 1
+    # raw-frame paths
+    ori_size: Optional[Tuple[int, int]] = None  # source video (h, w)
+    renderings_folder: str = "renderings"
+    load_condGT: bool = False
+    test_mode: bool = False
 
     def start_interval(self) -> int:
         if isinstance(self.start_frame_interval, dict):
             return int(self.start_frame_interval[self.split])
         return int(self.start_frame_interval)
+
+    def ref_num_choices(self) -> List[int]:
+        r = self.ref_num
+        return [int(x) for x in r] if isinstance(r, (list, tuple)) else [int(r)]
 
 
 def _load_tensor_file(path_base: str) -> Optional[np.ndarray]:
@@ -208,18 +309,122 @@ class RobotDataset:
         act = relative_actions(states, grip, accumulate=self.config.accumulate_action)
         return (act * self.c_act_scaler).astype(np.float32)
 
-    def __getitem__(self, idx: int) -> Dict[str, Any]:
+    # -- raw-frame paths (reference _get_frames / _get_cond_frames) ---------
+
+    def _video_path(self, ann: Dict) -> str:
+        v = ann.get("videos", [None])[0]
+        if isinstance(v, dict):
+            v = v.get("video_path")
+        return str(Path(self.config.data_root) / v)
+
+    def _render_path(self, sample: Dict) -> Optional[str]:
+        """render.npz for the episode: the reference layout
+        {data_root}/{renderings_folder}/render/{split}/{eid}.npz, else the
+        factory's per-episode {data_root}/{eid}/render.npz."""
+        cfg = self.config
+        eid = str(sample["episode_id"])
+        names = [eid, f"{int(eid):05d}" if eid.isdigit() else eid]
+        for name in dict.fromkeys(names):
+            p = Path(cfg.data_root) / cfg.renderings_folder / "render" / cfg.split / f"{name}.npz"
+            if p.exists():
+                return str(p)
+            p = Path(cfg.data_root) / name / "render.npz"
+            if p.exists():
+                return str(p)
+        return None
+
+    def _get_raw_frames(self, sample: Dict, ann: Dict, ref_num: int) -> Dict[str, np.ndarray]:
+        """Decode + transform raw video frames (reference _get_frames raw
+        branch, dataset.py:697-716): videos [F, 3, H, W] in [-1, 1] and the
+        first ref_num frames as the reference images."""
+        from orv_tpu.utils.video import read_video
+
+        cfg = self.config
+        frames = read_video(self._video_path(ann), sample["frame_ids"])
+        vids = video_transform(frames, cfg.ori_size, cfg.video_size)
+        return {"videos": vids.astype(np.float32),
+                "image": vids[:ref_num].astype(np.float32)}
+
+    def _get_cond_raw(self, sample: Dict, view_ids=(0,), num_view: int = 1) -> Dict[str, np.ndarray]:
+        """Raw condition maps (reference _get_cond_frames raw branch,
+        dataset.py:853-917): render.npz depths clamped [0.01,0.4]*2.5 and
+        semantics through the 60-color map; or the GT variant from
+        {renderings_folder}/points|semantics per-frame files."""
+        cfg = self.config
+        frame_ids = list(sample["frame_ids"])
+        out: Dict[str, np.ndarray] = {}
+
+        if not cfg.load_condGT:
+            rp = self._render_path(sample)
+            if rp is None:
+                raise FileNotFoundError(f"no render.npz for episode {sample['episode_id']}")
+            data = np.load(rp)
+            ori = cfg.ori_size or tuple(data["depths"].shape[-2:])
+
+            def pick_views(x):
+                if x.ndim == 3:  # legacy [F*V, h, w]
+                    x = x.reshape(-1, num_view, *x.shape[-2:])
+                x = x[frame_ids]
+                x = np.stack([x[:, v] for v in view_ids], axis=1)
+                return x.transpose(1, 0, 2, 3).reshape(-1, *x.shape[-2:])  # [v*f,h,w]
+
+            if "depth" in cfg.control_keys:
+                d = pick_views(data["depths"].astype(np.float32))
+                d = cond_transform(d, ori, cfg.video_size)[:, None]  # [F,1,H,W]
+                out["depths"] = (np.clip(d, 0.01, 0.4) * 2.5).astype(np.float32)
+            if "label" in cfg.control_keys and bool(np.asarray(data["is_labeled"]).all()):
+                s = pick_views(data["semantics"])
+                lab = apply_semantic_colormap(s)  # [F, 3, h, w]
+                out["labels"] = cond_transform(
+                    lab, ori, cfg.video_size, nearest=True).astype(np.float32)
+        else:
+            import fnmatch
+
+            eid = str(sample["episode_id"])
+            base = Path(cfg.data_root) / cfg.renderings_folder
+            ori = cfg.ori_size
+            if "depth" in cfg.control_keys:
+                rdir = base / "points" / cfg.split / eid
+                files = sorted(fnmatch.filter(os.listdir(rdir), "frame_*.npy"))
+                d = np.stack([np.load(rdir / files[i]) for i in frame_ids]).astype(np.float32)
+                out["depths"] = cond_transform(
+                    d, ori or d.shape[-2:], cfg.video_size)[:, None].astype(np.float32)
+            if "label" in cfg.control_keys:
+                ldir = base / "semantics" / cfg.split / eid
+                files = sorted(fnmatch.filter(os.listdir(ldir), "frame_*.npz"))
+                lab = np.stack([
+                    np.load(ldir / files[i])["annotated_frame_color"] for i in frame_ids
+                ]).astype(np.float32).transpose(0, 3, 1, 2)
+                out["labels"] = cond_transform(
+                    lab, ori or lab.shape[-2:], cfg.video_size, nearest=True
+                ).astype(np.float32)
+        return out
+
+    def _draw_ref_num(self, override: Optional[int] = None) -> int:
+        if override is not None:
+            return int(override)
+        return random.choice(self.config.ref_num_choices())
+
+    def __getitem__(self, idx) -> Dict[str, Any]:
+        # BucketSampler yields (index, ref_num, n_view) so batches stay
+        # shape-homogeneous (reference dataset.py:2016-2035)
+        ref_num = n_view = None
+        if isinstance(idx, tuple):
+            idx, ref_num, n_view = (tuple(idx) + (None, None))[:3]
         try:
-            return self._getitem(idx)
+            return self._getitem(idx, ref_num=ref_num, n_view=n_view)
         except Exception:
             if os.environ.get("DEBUG"):
                 raise
             # reference behavior: resample another index on a bad sample
-            return self._getitem(random.randrange(len(self.samples)))
+            return self._getitem(random.randrange(len(self.samples)),
+                                 ref_num=ref_num, n_view=n_view)
 
-    def _getitem(self, idx: int) -> Dict[str, Any]:
+    def _getitem(self, idx: int, ref_num: Optional[int] = None,
+                 n_view: Optional[int] = None) -> Dict[str, Any]:
         cfg = self.config
         sample = self.samples[idx]
+        ref_num = self._draw_ref_num(ref_num)
         with open(sample["ann_file"]) as f:
             ann = json.load(f)
 
@@ -229,6 +434,7 @@ class RobotDataset:
                 episode_id=sample["episode_id"],
                 start_frame_idx=sample["start_frame_idx"],
                 num_frame=sample["num_frame"],
+                ref_num=ref_num,
             ),
             num_views=1,
         )
@@ -242,9 +448,7 @@ class RobotDataset:
                     f"missing latents for {self._sample_name(sample)} in {self._emb_dir}"
                 )
             out["latents"] = lat.astype(np.float32)  # [2C, F, H, W] moments
-            img = self._load_latent("image_latents", sample, view=0)
-            if img is not None:
-                out["image_latents"] = img.astype(np.float32)
+            out.update(self._image_latents(sample, ref_num, out["latents"]))
             emb = self._load_latent("prompt_embeds", sample, view=0)
             if emb is None:
                 empty = str(self._emb_dir / "prompt_embeds" / "empty")
@@ -259,7 +463,26 @@ class RobotDataset:
                     if ctrl is None:
                         raise FileNotFoundError(f"missing {key} latents for sample {idx}")
                     out[f"latents_{key}"] = ctrl.astype(np.float32)
+        else:
+            out.update(self._get_raw_frames(sample, ann, ref_num))
+            if cfg.use_cond and not cfg.test_mode:
+                out.update(self._get_cond_raw(sample))
         return out
+
+    def _image_latents(self, sample: Dict, ref_num: int, video_moments) -> Dict[str, Any]:
+        """Reference-image latents for ref_num observed frames. Multi-ref
+        files carry a _ref{r} suffix (written by encode_dataset --ref_nums);
+        when absent, the first (r+3)//4 latent frames of the video moments
+        stand in — exact for the causal VAE up to per-chunk GroupNorm
+        statistics (reference dataset.py:609-633 + num_observation recipes)."""
+        if ref_num <= 1:
+            img = self._load_latent("image_latents", sample, view=0)
+            return {} if img is None else {"image_latents": img.astype(np.float32)}
+        name = self._sample_name(sample) + f"_ref{ref_num}"
+        img = _load_tensor_file(str(self._emb_dir / "image_latents" / name))
+        if img is None:
+            img = video_moments[:, : (ref_num + 3) // 4]
+        return {"image_latents": img.astype(np.float32)}
 
 
 class CascadedRobotDataset(RobotDataset):
@@ -299,8 +522,8 @@ class CascadedRobotDataset(RobotDataset):
             samples.append(s)
         return samples
 
-    def _getitem(self, idx):
-        out = super()._getitem(idx)
+    def _getitem(self, idx, ref_num=None, n_view=None):
+        out = super()._getitem(idx, ref_num=ref_num, n_view=n_view)
         s = self.samples[idx]
         out["metainfo"].update(
             sample_index=s["sample_index"], is_last=s["is_last"],
@@ -317,10 +540,15 @@ class MultiViewRobotDataset(RobotDataset):
     init) so BucketSampler buckets stay shape-homogeneous — the reference
     achieves the same effect with per-view-count data-ratio rebalancing."""
 
+    # per-view-count data-ratio rebalancing (reference dataset.py:1744-1760):
+    # cap the share of single-view samples when multiview data exists
+    view_data_ratio = {1: 0.4, 2: -1.0, 3: -1.0}
+
     def __init__(self, config: DatasetConfig, train_view_sampling: bool = True):
         self.train_view_sampling = train_view_sampling and config.split == "train"
         super().__init__(config)
         if self.train_view_sampling:
+            self._rebalance_views()
             rng = random.Random(config.seed + 1)
             for s in self.samples:
                 if s["n_view"] > 1:
@@ -331,6 +559,25 @@ class MultiViewRobotDataset(RobotDataset):
             for s in self.samples:
                 s["n_view_use"] = s["n_view"]
 
+    def _rebalance_views(self):
+        n_views = np.array([s["n_view"] for s in self.samples])
+        counts = {v: int((n_views == v).sum()) for v in sorted(set(n_views.tolist()))}
+        if sum(c > 0 for v, c in counts.items() if v > 1) == 0:
+            return  # no multiview data: nothing to rebalance against
+        total = len(self.samples)
+        rng = random.Random(self.config.seed + 2)
+        keep = np.ones(total, dtype=bool)
+        for v, c in counts.items():
+            ratio = self.view_data_ratio.get(int(v), -1.0)
+            if ratio > 0 and c / total > ratio:
+                idxs = np.where(n_views == v)[0].tolist()
+                kept = set(rng.sample(idxs, min(c, int(ratio * total))))
+                for i in idxs:
+                    if i not in kept:
+                        keep[i] = False
+                CONSOLE.log(f"rebalance: n_view={v} {c} -> {len(kept)} samples")
+        self.samples = [s for i, s in enumerate(self.samples) if keep[i]]
+
     def _make_sample(self, ann, ann_file, frame_ids, is_sliced):
         s = super()._make_sample(ann, ann_file, frame_ids, is_sliced)
         n_view = self.config.n_view or self.config.max_n_view
@@ -339,10 +586,13 @@ class MultiViewRobotDataset(RobotDataset):
         s["n_view"] = sum(s[f"has_image_{v}"] for v in range(n_view))
         return s
 
-    def _getitem(self, idx):
+    def _getitem(self, idx, ref_num=None, n_view=None):
         cfg = self.config
         sample = self.samples[idx]
-        n_view = sample.get("n_view_use", sample["n_view"])
+        if n_view is None:
+            n_view = sample.get("n_view_use", sample["n_view"])
+        n_view = min(int(n_view), sample["n_view"])
+        ref_num = self._draw_ref_num(ref_num)
 
         with open(sample["ann_file"]) as f:
             ann = json.load(f)
@@ -352,6 +602,7 @@ class MultiViewRobotDataset(RobotDataset):
                 episode_id=sample["episode_id"],
                 start_frame_idx=sample["start_frame_idx"],
                 num_frame=sample["num_frame"],
+                ref_num=ref_num,
             ),
             num_views=n_view,
         )
@@ -417,7 +668,7 @@ class DemoRobotDataset(RobotDataset):
         rgb = Path(ann_file).parent / "rgb"
         return sorted(list(rgb.glob("*.png")) + list(rgb.glob("*.jpg")))
 
-    def _getitem(self, idx: int):
+    def _getitem(self, idx: int, ref_num=None, n_view=None):
         import imageio
 
         cfg = self.config
@@ -441,9 +692,12 @@ class DemoRobotDataset(RobotDataset):
 
 
 class BucketSampler:
-    """Groups samples into homogeneous (num_views, ref-frames) batches;
-    flushes a bucket when it reaches batch_size (reference
-    dataset.py:1972-2050). Iterates forever when `infinite`."""
+    """Groups samples into homogeneous (ref_num, n_view) batches — both a
+    fresh ref_num draw and the sample's view count key the bucket, and each
+    yielded batch entry is an (index, ref_num, n_view) tuple the dataset
+    honors in __getitem__, so every batch is shape-static under jit
+    (reference BucketSampler, dataset.py:1972-2050). Flushes a bucket when
+    it reaches batch_size; iterates forever when `infinite`."""
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, infinite: bool = True):
@@ -453,9 +707,10 @@ class BucketSampler:
         self.seed = seed
         self.infinite = infinite
 
-    def _key(self, i):
+    def _key(self, i, rng) -> Tuple[int, int]:
         s = self.dataset.samples[i]
-        return (s.get("n_view_use", s.get("n_view", 1)),)
+        ref_num = rng.choice(self.dataset.config.ref_num_choices())
+        return (ref_num, s.get("n_view_use", s.get("n_view", 1)))
 
     def __iter__(self):
         rng = random.Random(self.seed)
@@ -464,10 +719,11 @@ class BucketSampler:
             order = list(range(len(self.dataset)))
             if self.shuffle:
                 rng.shuffle(order)
-            buckets: Dict[Tuple, List[int]] = {}
+            buckets: Dict[Tuple, List[Tuple]] = {}
             for i in order:
-                b = buckets.setdefault(self._key(i), [])
-                b.append(i)
+                key = self._key(i, rng)
+                b = buckets.setdefault(key, [])
+                b.append((i, key[0], key[1]))
                 if len(b) == self.batch_size:
                     yield list(b)
                     b.clear()

@@ -50,21 +50,33 @@ def encode_split(
     split: str = "train",
     overwrite: bool = False,
     max_samples: Optional[int] = None,
+    ref_nums: Optional[List[int]] = None,
+    encode_conds: Optional[bool] = None,
 ):
     d = cfg.dataset
+    control_keys = tuple(d.get("control_keys", ("depth", "label")))
     ds_cfg = DatasetConfig(
         data_root=d.data_root, split=split,
         sequence_interval=d.get("sequence_interval", 1),
         sequence_length=d.get("sequence_length", 16),
         start_frame_interval=d.get("start_frame_interval", 4),
         video_size=tuple(d.get("video_size", (320, 480))),
+        ori_size=tuple(d["ori_size"]) if d.get("ori_size") else None,
         embeddings_folder=d.get("embeddings_folder", "embeddings_full"),
         annotations_folder=d.get("annotations_folder", "annotations"),
+        renderings_folder=d.get("renderings_folder", "renderings"),
+        control_keys=control_keys,
         load_tensors=False,
     )
     ds = RobotDataset(ds_cfg)
+    if encode_conds is None:
+        encode_conds = bool(d.get("use_cond", False))
+    ref_nums = sorted(set(int(r) for r in (ref_nums or [1])))
     out_root = Path(d.data_root) / ds_cfg.embeddings_folder / split
-    for sub in ("latents", "image_latents", "prompt_embeds"):
+    subs = ["latents", "image_latents", "prompt_embeds"]
+    if encode_conds:
+        subs += [f"{k}_latents" for k in control_keys]
+    for sub in subs:
         (out_root / sub).mkdir(parents=True, exist_ok=True)
 
     # process-sharded work list (reference rank slicing encode_dataset.py:634-643)
@@ -93,9 +105,29 @@ def encode_split(
         clip = jnp.asarray(frames.transpose(3, 0, 1, 2))[None]  # [1, C, F, H, W]
         moments = np.asarray(encode(vae_params, clip)[0], dtype=np.float32)
         np.savez(lat_path, moments)
-        ref = jnp.asarray(frames[:1].transpose(3, 0, 1, 2))[None]  # first frame
-        img_moments = np.asarray(encode(vae_params, ref)[0], dtype=np.float32)
-        np.savez(img_path, img_moments)
+        for r in ref_nums:
+            # reference observations = the first r raw frames (dataset.py
+            # :609-633 num_observation); r>1 files carry a _ref{r} suffix
+            rp = img_path if r <= 1 else (
+                out_root / "image_latents" / f"{ds._sample_name(sample)}_ref{r}.npz")
+            ref = jnp.asarray(frames[:r].transpose(3, 0, 1, 2))[None]
+            np.savez(rp, np.asarray(encode(vae_params, ref)[0], dtype=np.float32))
+        if encode_conds:
+            # depth (3-channel expand of the clamped map) and label (color
+            # map) condition latents — reference encode_dataset.py:792-816,
+            # 865-927; inputs come from the dataset's raw cond loader so the
+            # on-disk convention matches _get_cond_frames exactly
+            conds = ds._get_cond_raw(sample)
+            if "depths" in conds:
+                dep = np.repeat(conds["depths"], 3, axis=1)  # [F,3,H,W]
+                dm = encode(vae_params, jnp.asarray(dep.transpose(1, 0, 2, 3))[None])
+                np.savez(out_root / "depth_latents" / f"{name}.npz",
+                         np.asarray(dm[0], dtype=np.float32))
+            if "labels" in conds:
+                lm = encode(vae_params,
+                            jnp.asarray(conds["labels"].transpose(1, 0, 2, 3))[None])
+                np.savez(out_root / "label_latents" / f"{name}.npz",
+                         np.asarray(lm[0], dtype=np.float32))
         done += 1
         if done % 20 == 0:
             CONSOLE.log(f"[{split}] encoded {done}/{len(work)} (skipped {skipped})")
@@ -128,6 +160,10 @@ def main(argv=None):
     p.add_argument("--vae_path", default=None, help="HF VAE folder (safetensors)")
     p.add_argument("--overwrite", action="store_true")
     p.add_argument("--max_samples", type=int, default=None)
+    p.add_argument("--ref_nums", default="1",
+                   help="comma list of observation counts, e.g. 1,5,9")
+    p.add_argument("--encode_conds", action="store_true",
+                   help="also write depth/label condition latents from render.npz")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
     cfg = load_config(args.base, None, args.dataset_type, None, args.overrides)
@@ -141,7 +177,9 @@ def main(argv=None):
         CONSOLE.log("[yellow]no --vae_path — random VAE (synthetic/dev mode)")
         vae_params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, 32, 32)))
 
-    encode_split(cfg, vae, vae_params, args.split, args.overwrite, args.max_samples)
+    encode_split(cfg, vae, vae_params, args.split, args.overwrite, args.max_samples,
+                 ref_nums=[int(r) for r in str(args.ref_nums).split(",") if r],
+                 encode_conds=args.encode_conds or None)
     out_root = Path(cfg.dataset.data_root) / cfg.dataset.get("embeddings_folder", "embeddings_full") / args.split
     encode_empty_prompt(cfg, out_root)
 

@@ -109,3 +109,104 @@ def test_train_then_eval(pipeline_root, tmp_path):
     results = evaluate(cfg, max_batches=1)
     assert len(results) == 2
     assert len(list((tmp_path / "eval").glob("*_latents.npz"))) == 2
+
+
+def test_occupancy_selfhosted_e2e(tmp_path):
+    """VERDICT item 4: the repo's own tools produce the flagship
+    occupancy-conditioned training mode end to end — synthetic episodes ->
+    reconstruction -> render -> encode (incl. depth/label cond latents,
+    multi-ref) -> use_cond training step. No hand-made fixtures."""
+    root = tmp_path / "occ"
+    rng = np.random.default_rng(0)
+    N, FH, FW = 12, 24, 32
+    K = np.array([[20.0, 0, 16], [0, 20.0, 12], [0, 0, 1]])
+
+    from orv_tpu.utils.video import write_video
+
+    (root / "videos").mkdir(parents=True)
+    ann_dir = root / "annotations" / "train"
+    ann_dir.mkdir(parents=True)
+    for ep in range(2):
+        ep_dir = root / f"{ep:05d}"
+        (ep_dir / "depth").mkdir(parents=True)
+        for i in range(N):
+            d = np.full((FH, FW), 0.2, np.float32) + rng.uniform(-0.02, 0.02, (FH, FW))
+            np.save(ep_dir / "depth" / f"{i:03d}.npy", d)
+        (ep_dir / "intrinsics.json").write_text(json.dumps({"K": K.tolist()}))
+        np.save(ep_dir / "poses.npy", np.stack([np.eye(4)] * N).astype(np.float32))
+        frames = rng.integers(0, 255, (N, FH, FW, 3), dtype=np.uint8)
+        vp = write_video(str(root / "videos" / f"{ep:05d}.mp4"), frames, fps=8)
+        (ann_dir / f"{ep:05d}.json").write_text(json.dumps(dict(
+            episode_id=f"{ep:05d}", texts=["pick"],
+            videos=[{"video_path": str(Path(vp).relative_to(root))}],
+            state=rng.uniform(-1, 1, (N, 7)).tolist(),
+            continuous_gripper_state=rng.uniform(0, 1, N).tolist(),
+        )))
+
+    # factory: reconstruction -> render (per-episode render.npz)
+    from orv_tpu.pipelines.prepare_dataset import run_reconstruction, run_render
+
+    assert len(run_reconstruction(str(root))) == 2
+    assert len(run_render(str(root), image_shape=(FH, FW))) == 2
+    assert (root / "00000" / "render.npz").exists()
+
+    # offline encode: video + ref (1 and 5) + depth/label cond latents
+    from orv_tpu.configs import Config
+    from orv_tpu.models.vae import CausalVAE, VAEConfig
+    from orv_tpu.pipelines.encode_dataset import encode_split
+
+    tiny = VAEConfig(block_out_channels=(8, 16, 16, 32), layers_per_block=1,
+                     norm_num_groups=4, latent_channels=16)
+    vae = CausalVAE(tiny, dtype=jnp.float32)
+    vparams = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, 32, 32)))
+    cfg = Config({"dataset": {
+        "data_root": str(root), "sequence_length": 4, "sequence_interval": 1,
+        "start_frame_interval": 6, "video_size": [32, 32], "ori_size": [FH, FW],
+        "use_cond": True,
+    }})
+    encode_split(cfg, vae, vparams, "train", ref_nums=[1, 5], encode_conds=True)
+    emb = root / "embeddings_full" / "train"
+    assert list((emb / "depth_latents").glob("*.npz"))
+    assert list((emb / "label_latents").glob("*.npz"))
+    assert list((emb / "image_latents").glob("*_ref5.npz"))
+
+    # conditioned dataset + one use_cond training step
+    from orv_tpu.data import DatasetConfig, RobotDataset
+    from orv_tpu.data.dataset import collate_control
+    from orv_tpu.models import ControlDiT, DiTConfig
+    from orv_tpu.parallel import (TrainState, make_lr_schedule, make_optimizer,
+                                  make_train_step)
+    from orv_tpu.schedulers import make_schedule
+
+    ds = RobotDataset(DatasetConfig(
+        data_root=str(root), sequence_length=4, sequence_interval=1,
+        start_frame_interval=6, video_size=(32, 32), use_cond=True,
+        ref_num=[1, 5],
+    ))
+    items = [ds[(i, 5, 1)] for i in range(2)]
+    batch = collate_control(items)
+    assert batch["latents_depth"].shape[0] == 2
+    assert batch["image_latents"].shape[2] == 2  # 5 refs -> 2 latent frames
+
+    mcfg = DiTConfig(num_attention_heads=2, attention_head_dim=8, num_layers=1,
+                     in_channels=32, out_channels=16, text_embed_dim=16,
+                     time_embed_dim=32, max_text_seq_length=4,
+                     modulate_encoder_hidden_states=True, visual_guidance=True)
+    model = ControlDiT(mcfg, dtype=jnp.float32)
+    jb = {k: jnp.asarray(v) for k, v in batch.items()
+          if isinstance(v, np.ndarray)}
+    jb["prompt_embeds"] = jnp.zeros((2, 4, 16))
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "action_mask": jax.random.PRNGKey(1)},
+        jb["latents"][:, :32].transpose(0, 2, 1, 3, 4), jb["prompt_embeds"],
+        jnp.zeros((2,), jnp.int32), actions=jb["actions"],
+        depths=jb["latents"][:, :32].transpose(0, 2, 1, 3, 4),
+        labels=jb["latents"][:, :32].transpose(0, 2, 1, 3, 4),
+        deterministic=False,
+    )
+    tx = make_optimizer(make_lr_schedule(warmup_steps=0, total_steps=10))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    step = make_train_step(model.apply, tx, make_schedule(), mesh=None)
+    state, metrics = step(state, jb, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
