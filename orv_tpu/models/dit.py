@@ -95,6 +95,7 @@ class _BlockCell(nn.Module):
     attn_impl: str
     dtype: Dtype
     param_dtype: Dtype
+    quant: bool = False
     sp_mesh: Optional[Any] = None
 
     @nn.compact
@@ -114,7 +115,7 @@ class _BlockCell(nn.Module):
             dim=c.inner_dim, heads=c.num_attention_heads, head_dim=c.attention_head_dim,
             time_embed_dim=c.time_embed_dim, modulate_enc=c.modulate_encoder_hidden_states,
             attention_bias=c.attention_bias, norm_eps=c.norm_eps,
-            sp_mesh=self.sp_mesh, name="block", **kw,
+            quant=self.quant, sp_mesh=self.sp_mesh, name="block", **kw,
         )(hidden, enc, temb, rope, action_emb)
         return (hidden, enc), None
 
@@ -124,6 +125,10 @@ class ControlDiT(nn.Module):
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
     attn_impl: str = "auto"
+    # int8 W8A8 linears in every block (attention projections + FF) — the
+    # inference-serving configuration; pair with params from
+    # orv_tpu.models.quantize.quantize_linear_params. Inference-only.
+    quant: bool = False
     remat: bool = False
     # sequence-parallel: a jax.sharding.Mesh with an `sp` axis routes every
     # block's joint attention through ring attention (video tokens sharded,
@@ -257,8 +262,8 @@ class ControlDiT(nn.Module):
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(
             cfg=c, n_view=num_views, n_frame=num_frames, attn_impl=self.attn_impl,
-            dtype=self.dtype, param_dtype=self.param_dtype, sp_mesh=self.sp_mesh,
-            name="blocks",
+            dtype=self.dtype, param_dtype=self.param_dtype, quant=self.quant,
+            sp_mesh=self.sp_mesh, name="blocks",
         )
         (hidden, enc), _ = stack(
             (hidden, enc), temb, image_rotary_emb, action_emb, image_rotary_emb_view

@@ -1,0 +1,81 @@
+"""int8 W8A8 inference path: Int8Dense + quantize_linear_params.
+
+The quantized serving configuration (ControlDiT(quant=True)) must (a) have
+exactly the param tree `quantize_linear_params` produces from a trained
+model, and (b) stay numerically close to the bf16/f32 model — W8A8 dynamic
+PTQ with per-token activation scales and per-channel weight scales.
+"""
+
+import flax
+import jax
+import jax.numpy as jnp
+import pytest
+
+from orv_tpu.models import ControlDiT, DiTConfig
+from orv_tpu.models.layers import Int8Dense
+from orv_tpu.models.quantize import QUANT_LAYER_NAMES, quantize_linear_params
+
+
+def test_int8_dense_matches_fp():
+    k = jax.random.PRNGKey(0)
+    x = jax.random.normal(k, (4, 64, 96))
+    kernel = jax.random.normal(jax.random.PRNGKey(1), (96, 128)) * 0.05
+    bias = jax.random.normal(jax.random.PRNGKey(2), (128,)) * 0.1
+    ref = x @ kernel + bias
+
+    scale = jnp.maximum(jnp.max(jnp.abs(kernel), axis=0), 1e-8) / 127.0
+    kq = jnp.round(kernel / scale[None, :]).astype(jnp.int8)
+    m = Int8Dense(128, dtype=jnp.float32)
+    out = m.apply({"params": {"kernel_q8": kq, "kernel_scale": scale, "bias": bias}}, x)
+    # int8 x int8 with dynamic ranges: ~1% relative error is the expected scale
+    rel = float(jnp.max(jnp.abs(out - ref)) / jnp.max(jnp.abs(ref)))
+    assert rel < 0.02, rel
+
+
+@pytest.fixture(scope="module")
+def small_dit_inputs():
+    cfg = DiTConfig(
+        num_attention_heads=4, attention_head_dim=16, num_layers=2,
+        in_channels=32, out_channels=16, text_embed_dim=32, time_embed_dim=64,
+        max_text_seq_length=8, sample_width=16, sample_height=8,
+        modulate_encoder_hidden_states=True, visual_guidance=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 32, 8, 16))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    acts = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 7)) * 0.1
+    d = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    l = jax.random.normal(jax.random.PRNGKey(4), x.shape)
+    t = jnp.array([500], jnp.int32)
+    return cfg, (x, enc, t, acts, d, l)
+
+
+def test_quantized_param_tree_matches_init(small_dit_inputs):
+    cfg, (x, enc, t, acts, d, l) = small_dit_inputs
+    m = ControlDiT(cfg, dtype=jnp.float32, attn_impl="xla")
+    mq = ControlDiT(cfg, dtype=jnp.float32, attn_impl="xla", quant=True)
+    p = m.init(jax.random.PRNGKey(0), x, enc, t, actions=acts, depths=d, labels=l)
+    pq = quantize_linear_params(p)
+    expect = jax.eval_shape(
+        lambda: mq.init(jax.random.PRNGKey(0), x, enc, t, actions=acts, depths=d, labels=l)
+    )
+    f_expect = flax.traverse_util.flatten_dict(expect)
+    f_got = flax.traverse_util.flatten_dict(pq)
+    assert set(f_expect) == set(f_got)
+    for key in f_expect:
+        assert f_expect[key].shape == f_got[key].shape, key
+        assert f_expect[key].dtype == f_got[key].dtype, key
+    # every hot linear actually got quantized (stacked over the scan axis)
+    q8 = [k for k in f_got if k[-1] == "kernel_q8"]
+    assert {k[-2] for k in q8} == set(QUANT_LAYER_NAMES)
+
+
+def test_quantized_forward_close_to_fp(small_dit_inputs):
+    cfg, (x, enc, t, acts, d, l) = small_dit_inputs
+    m = ControlDiT(cfg, dtype=jnp.float32, attn_impl="xla")
+    mq = ControlDiT(cfg, dtype=jnp.float32, attn_impl="xla", quant=True)
+    p = m.init(jax.random.PRNGKey(0), x, enc, t, actions=acts, depths=d, labels=l)
+    pq = quantize_linear_params(p)
+    o_ref, _, _ = m.apply(p, x, enc, t, actions=acts, depths=d, labels=l)
+    o_q, _, _ = mq.apply(pq, x, enc, t, actions=acts, depths=d, labels=l)
+    rel = float(jnp.max(jnp.abs(o_q - o_ref)) / jnp.max(jnp.abs(o_ref)))
+    assert rel < 0.02, rel
