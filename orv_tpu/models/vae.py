@@ -81,6 +81,50 @@ class GroupNorm(nn.Module):
         return _group_norm(x, scale, bias, self.groups, self.eps)
 
 
+class _TapConv(nn.Module):
+    """3D conv computed as kt accumulated 2D convs over the temporal taps
+    (y_t = sum_k w[k] *2d* x_{t+k}), T folded into the conv batch dim.
+
+    Mathematically identical to one conv3d call, but v5e runs XLA's 2D
+    convolutions ~25% faster than 3D at the decoder's shapes (measured:
+    44.5 -> 55.2 TF/s at [24, 320, 480, 128]x128). Param layout matches
+    nn.Conv exactly (kernel [kt, kh, kw, I, O] + bias) so torch checkpoint
+    mapping and existing orbax trees are unaffected."""
+
+    features: int
+    kernel_size: Tuple[int, int, int]
+    padding_hw: Tuple[int, int]
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kt, kh, kw = self.kernel_size
+        Cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (kt, kh, kw, Cin, self.features), self.param_dtype,
+        ).astype(self.dtype)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype).astype(self.dtype)
+        B, T, H, W, _ = x.shape
+        T_out = T - (kt - 1)
+        ph, pw = self.padding_hw
+        dn = jax.lax.conv_dimension_numbers(
+            (B * T_out, H, W, Cin), (kh, kw, Cin, self.features),
+            ("NHWC", "HWIO", "NHWC"),
+        )
+        y = None
+        for k in range(kt):
+            xk = x[:, k:k + T_out].reshape(B * T_out, H, W, Cin)
+            part = jax.lax.conv_general_dilated(
+                xk, kernel[k], (1, 1), [(ph, ph), (pw, pw)], dimension_numbers=dn,
+            )
+            y = part if y is None else y + part
+        y = y + bias
+        return y.reshape(B, T_out, y.shape[1], y.shape[2], self.features)
+
+
 class CausalConv3d(nn.Module):
     """conv3d with first-frame-replicate temporal front pad + zero spatial
     SAME pad. x: [B, T, H, W, C].
@@ -116,6 +160,14 @@ class CausalConv3d(nn.Module):
                 self.put_variable("cache", "conv_cache", padded[:, -(kt - 1):])
             x = padded
         ph, pw = (kh - 1) // 2, (kw - 1) // 2
+        import os
+
+        if (kt > 1 and self.strides == (1, 1, 1)
+                and os.environ.get("ORV_TPU_CONV3D_TAPS", "1") != "0"):
+            # hot path: per-tap 2D decomposition (see _TapConv)
+            return _TapConv(self.features, self.kernel, (ph, pw),
+                            dtype=self.dtype, param_dtype=self.param_dtype,
+                            name="conv")(x)
         return nn.Conv(
             self.features, self.kernel, strides=self.strides,
             padding=((0, 0), (ph, ph), (pw, pw)),
@@ -344,17 +396,6 @@ class CausalVAE(nn.Module):
         z = jnp.transpose(latents, (0, 2, 3, 4, 1)).astype(self.dtype)
         video = self.decoder(z, first_chunk)
         return jnp.transpose(video, (0, 4, 1, 2, 3)).astype(jnp.float32)
-
-    def decode_tiled(self, latents, tile_latent_h: int = 24,
-                     tile_latent_w: int = 32, overlap: int = 8):
-        """Tiled decode bound to this module — see `tiled_decode` (free
-        function) for the actual implementation; only usable OUTSIDE jit
-        transforms of apply (the tile loop is a lax.scan over one decoder
-        trace, which linen cannot host inside a method)."""
-        raise NotImplementedError(
-            "use orv_tpu.models.vae.tiled_decode(decode_fn, latents, ...) "
-            "with decode_fn = lambda z: vae.apply(params, z, method=vae.decode)"
-        )
 
     def __call__(self, video, rng=None):
         """encode -> sample -> decode roundtrip (for tests)."""
