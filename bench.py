@@ -1,7 +1,14 @@
 """Headline benchmark: frames/sec/chip for 49-frame 320x480
-occupancy-conditioned generation with the 2B ControlDiT, 50 DPM steps
-(BASELINE.md generation config; eval configs run guidance_scale=1.0 so no
-CFG batch).
+occupancy-conditioned generation with the 2B ControlDiT (BASELINE.md
+generation config; the reference eval configs run guidance_scale=1.0 so
+there is no CFG batch).
+
+The inference figure is the REAL serving path: `make_sampler`'s jitted
+50-step DPM denoise scan (scheduler math, noise injection, per-step
+image-latent concat — pipelines/sample.py) on the int8-serving model
+(W8A8 linears + int8-QK^T flash attention, models/quantize.py), plus the
+conv-cached chunked VAE decode. A train-throughput phase (fwd+bwd+adamw,
+remat) is reported in `detail`.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -27,61 +34,65 @@ jax.config.update("jax_compilation_cache_dir", str(__import__("pathlib").Path(__
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
-from orv_tpu.models import ControlDiT, DiTConfig
-from orv_tpu.models.vae import CausalVAE, VAEConfig
-
 A100_BASELINE_FPS = 1.55
 
 NUM_FRAMES = 49
 HEIGHT, WIDTH = 320, 480
 LATENT_F, LATENT_H, LATENT_W = 13, 40, 60
 STEPS = 50
-INNER_ITERS = 10  # forwards per timed device-side loop
 TRIALS = 3  # take the min (the tunneled chip is noisy)
 
 
-def _bench_transformer():
+def _flagship_model(quant: bool):
+    from orv_tpu.models import ControlDiT, DiTConfig
+
     cfg = DiTConfig(
         num_attention_heads=30, attention_head_dim=64, num_layers=30,
         in_channels=32, out_channels=16, text_embed_dim=4096, time_embed_dim=512,
         modulate_encoder_hidden_states=True, visual_guidance=True,
     )
-    model = ControlDiT(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-    B = 1  # guidance_scale 1.0 in the reference eval configs -> no CFG batch
-    x = jax.random.normal(jax.random.PRNGKey(0), (B, LATENT_F, 32, LATENT_H, LATENT_W),
-                          dtype=jnp.bfloat16)
-    enc = jax.random.normal(jax.random.PRNGKey(1), (B, 226, 4096), dtype=jnp.bfloat16)
-    acts = jax.random.normal(jax.random.PRNGKey(2), (B, 48, 7), dtype=jnp.bfloat16)
-    depths = jax.random.normal(jax.random.PRNGKey(3), x.shape, dtype=jnp.bfloat16)
-    labels = jax.random.normal(jax.random.PRNGKey(4), x.shape, dtype=jnp.bfloat16)
-    t = jnp.full((B,), 999, dtype=jnp.int32)
+    return ControlDiT(
+        cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        attn_impl="flash_q8" if quant else "flash", quant=quant,
+    )
 
-    print("bench: init DiT...", file=sys.stderr, flush=True)
+
+def _bench_sampler():
+    """Full 50-step denoise via the real jitted sampler scan."""
+    from orv_tpu.pipelines.sample import SamplerConfig, make_sampler
+    from orv_tpu.schedulers import make_schedule
+
+    model = _flagship_model(quant=True)
+    B = 1  # guidance_scale 1.0 in the reference eval configs -> no CFG batch
+    key = jax.random.PRNGKey
+    lat = jax.random.normal(key(0), (B, LATENT_F, 16, LATENT_H, LATENT_W), jnp.float32)
+    img = jax.random.normal(key(1), lat.shape, jnp.bfloat16)  # pre-padded image latents
+    enc = jax.random.normal(key(2), (B, 226, 4096), jnp.bfloat16)
+    acts = jax.random.normal(key(3), (B, 48, 7), jnp.bfloat16)
+    dep = jax.random.normal(key(4), (B, LATENT_F, 32, LATENT_H, LATENT_W), jnp.bfloat16)
+    lab = jax.random.normal(key(5), dep.shape, jnp.bfloat16)
+
+    print("bench: init quantized DiT...", file=sys.stderr, flush=True)
+    t0 = jnp.full((B,), 999, jnp.int32)
     params = jax.jit(lambda: model.init(
-        jax.random.PRNGKey(0), x, enc, t, actions=acts, depths=depths, labels=labels
+        key(0), jnp.concatenate([lat, lat], 2).astype(jnp.bfloat16), enc, t0,
+        actions=acts, depths=dep, labels=lab,
     ))()
     jax.block_until_ready(params)
 
-    @jax.jit
-    def loop(p, lat):
-        def body(c, _):
-            out, _, _ = model.apply(p, c, enc, t, actions=acts, depths=depths,
-                                    labels=labels)
-            # feed output back (keeps the loop un-elidable); re-concat image half
-            c2 = jnp.concatenate([out.astype(c.dtype), c[:, :, 16:]], axis=2)
-            return c2, ()
-        c, _ = jax.lax.scan(body, lat, None, length=INNER_ITERS)
-        return c.sum()
-
-    print("bench: compiling DiT loop...", file=sys.stderr, flush=True)
-    float(loop(params, x))  # compile
-    print("bench: timing DiT...", file=sys.stderr, flush=True)
+    sampler = make_sampler(model.apply, make_schedule(),
+                           SamplerConfig(num_inference_steps=STEPS))
+    run = jax.jit(lambda p, l, r: sampler(p, l, img, enc, r, actions=acts,
+                                          depths=dep, labels=lab))
+    print("bench: compiling sampler scan...", file=sys.stderr, flush=True)
+    jax.block_until_ready(run(params, lat, key(10)))
     best = float("inf")
     for i in range(TRIALS):
-        xx = x * (1.0 + (i + 1) * 1e-6)  # vary inputs: the tunnel dedups
-        t0 = time.time()
-        float(loop(params, xx))
-        best = min(best, (time.time() - t0) / INNER_ITERS)
+        ll = lat * (1.0 + (i + 1) * 1e-6)  # vary inputs: the tunnel dedups
+        t_start = time.time()
+        out = run(params, ll, key(11 + i))
+        float(out.sum())  # force full materialization (block_until_ready can return early)
+        best = min(best, time.time() - t_start)
     return best
 
 
@@ -89,11 +100,12 @@ def _bench_vae():
     # VAE decode cost (conv-cached temporal chunks — full-res 49x320x480
     # activations exceed HBM in one shot; chunked decode beats spatial
     # tiling 2x on v5e because convs keep the full spatial extent)
+    from orv_tpu.models.vae import CausalVAE, VAEConfig, decode_chunked
+
     vae = CausalVAE(VAEConfig(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
     z = jax.random.normal(jax.random.PRNGKey(5), (1, 16, LATENT_F, LATENT_H, LATENT_W))
     vparams = jax.jit(lambda: vae.init(jax.random.PRNGKey(0), z[:, :, :1, :8, :8],
                                        method=vae.decode))()
-    from orv_tpu.models.vae import decode_chunked
     print("bench: compiling chunked VAE decode...", file=sys.stderr, flush=True)
     jax.block_until_ready(decode_chunked(vae, vparams, z, chunk_latent_frames=6))
     vae_time = float("inf")
@@ -104,6 +116,68 @@ def _bench_vae():
         vae_time = min(vae_time, time.time() - t0)
 
     return vae_time
+
+
+def _bench_train():
+    """Training throughput: fwd+bwd+adamw step seconds for the largest
+    recipe that fits one v5e chip's 16GB HBM. The flagship 2B with full
+    Adam state does not fit a single chip in ANY framework (the reference
+    shards it over 8xA100 with DeepSpeed), so this phase runs the
+    reference's 1.4B-from-scratch recipe (traj_image_1.4b_scratch.yaml:
+    28 layers x 1792, rope, 17-frame 480x320 clips) with bf16 params and
+    bf16 Adam moments, per-block remat, batch 1."""
+    from orv_tpu.models import ControlDiT, DiTConfig
+    from orv_tpu.parallel import TrainState, make_lr_schedule, make_optimizer, make_train_step
+    from orv_tpu.schedulers import make_schedule
+    from orv_tpu.utils.embeddings import prepare_rotary_positional_embeddings
+
+    cfg = DiTConfig(
+        num_attention_heads=28, attention_head_dim=64, num_layers=28,
+        in_channels=32, out_channels=16, text_embed_dim=4096, time_embed_dim=512,
+        sample_width=60, sample_height=40, sample_frames=17,
+        use_rotary_positional_embeddings=True,
+        modulate_encoder_hidden_states=False, recon_action=True,
+    )
+    model = ControlDiT(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, remat=True)
+    B, F, C, H, W = 1, 5, 16, 40, 60  # 17 frames @ 320x480 latent
+    key = jax.random.PRNGKey
+    batch = {
+        "latents": jax.random.normal(key(0), (B, 2 * C, F, H, W)) * 0.5,
+        "image_latents": jax.random.normal(key(1), (B, 2 * C, 1, H, W)) * 0.5,
+        "prompt_embeds": jax.random.normal(key(2), (B, 226, 4096), jnp.bfloat16),
+        "actions": jax.random.normal(key(3), (B, F * 4 - 4, 7)) * 0.1,
+    }
+    rope = prepare_rotary_positional_embeddings(
+        height=HEIGHT, width=WIDTH, num_frames=F,
+        attention_head_dim=cfg.attention_head_dim,
+        base_height=320, base_width=480,
+    )
+    print("bench: init 1.4B train model...", file=sys.stderr, flush=True)
+    params = jax.jit(lambda: model.init(
+        {"params": key(0), "action_mask": key(1)},
+        batch["latents"][:, :C].transpose(0, 2, 1, 3, 4).astype(jnp.bfloat16).repeat(2, 2),
+        batch["prompt_embeds"], jnp.zeros((B,), jnp.int32),
+        actions=batch["actions"], image_rotary_emb=rope, deterministic=False,
+    ))()
+    jax.block_until_ready(params)
+
+    tx = make_optimizer(make_lr_schedule(warmup_steps=0, total_steps=1000))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    step = make_train_step(model.apply, tx, make_schedule(), recon_action=True,
+                           image_rotary_emb=rope)
+    print("bench: compiling train step...", file=sys.stderr, flush=True)
+    state, m = step(state, batch, key(42))
+    jax.block_until_ready(state.params)
+    best = float("inf")
+    for i in range(TRIALS):
+        b2 = dict(batch)
+        b2["latents"] = batch["latents"] * (1.0 + (i + 1) * 1e-6)
+        t0 = time.time()
+        state, m = step(state, b2, key(43 + i))
+        float(m["loss"])
+        best = min(best, time.time() - t0)
+    return best
 
 
 def _run_phase_subprocess(phase: str) -> float:
@@ -125,9 +199,10 @@ def _run_phase_subprocess(phase: str) -> float:
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--phase":
         phase = sys.argv[2]
-        val = _bench_transformer() if phase == "transformer" else _bench_vae()
-        print(val)
+        fn = {"sampler": _bench_sampler, "vae": _bench_vae, "train": _bench_train}[phase]
+        print(fn())
         return
+
     def retry(phase, n=2):
         last = None
         for _ in range(n):
@@ -137,21 +212,32 @@ def main():
                 last = e
         raise last
 
-    best = retry("transformer")
+    sampler_s = retry("sampler")
     vae_time = retry("vae")
-    total = STEPS * best + vae_time
+    try:
+        train_s = retry("train")
+    except Exception:  # noqa: BLE001 — train phase is informational
+        train_s = None
+    total = sampler_s + vae_time
     fps = NUM_FRAMES / total
+    detail = {
+        "sampler_s": round(sampler_s, 3),
+        "per_step_s": round(sampler_s / STEPS, 4),
+        "vae_decode_s": round(vae_time, 3),
+        "total_s": round(total, 2),
+        "serving_config": "int8 W8A8 linears + int8-QK^T flash attention (bf16: models default)",
+        "device": str(jax.devices()[0]),
+    }
+    if train_s is not None:
+        detail["train_step_s_1p4b_17f"] = round(train_s, 3)
+        # 17-frame 480x320 clip -> 5*20*30 = 3000 video tokens + 226 text
+        detail["train_tokens_per_s"] = round(3226 / train_s)
     print(json.dumps({
-        "metric": "frames/sec/chip (49x320x480 occupancy-conditioned, 2B DiT, 50-step)",
+        "metric": "frames/sec/chip (49x320x480 occupancy-conditioned, 2B DiT, 50-step sampler)",
         "value": round(fps, 4),
         "unit": "frames/s",
         "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
-        "detail": {
-            "transformer_step_s": round(best, 4),
-            "vae_decode_s": round(vae_time, 4),
-            "total_s": round(total, 2),
-            "device": str(jax.devices()[0]),
-        },
+        "detail": detail,
     }))
 
 
