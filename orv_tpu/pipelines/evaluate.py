@@ -85,11 +85,8 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None):
         CONSOLE.log(f"loaded VAE from {vae_path}")
 
     cascaded = bool(ev.get("cascaded", False))
-    dataset = build_dataset(cfg, split=cfg.dataset.get("split", "test"))
-    if cascaded:
-        # rebuild index with chunk-chaining metadata, same config surface
-        dataset.__class__ = CascadedRobotDataset
-        dataset._init_sequences()
+    dataset = build_dataset(cfg, split=cfg.dataset.get("split", "test"),
+                            cascaded=cascaded)
 
     # work-list sharding across processes (reference rank slicing)
     n_proc, pid = jax.process_count(), jax.process_index()
@@ -214,6 +211,19 @@ def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
             kwargs = {}
             if "actions" in item and "traj" in mode:
                 kwargs["actions"] = jnp.asarray(item["actions"])[None].astype(jnp.bfloat16)
+            # conditioned cascades: per-chunk occupancy controls ride along
+            # exactly like the batch path (reference mode strings work in
+            # cascaded evaluation too)
+            r_ep, r_ctrl = jax.random.split(r_ep)
+            if "depth" in mode and item.get("latents_depth") is not None:
+                kwargs["depths"] = prepare_control_latents(
+                    jnp.asarray(item["latents_depth"])[None], r_ctrl, C, scaling
+                ).astype(jnp.bfloat16)
+            if "label" in mode and item.get("latents_label") is not None:
+                kwargs["labels"] = prepare_control_latents(
+                    jnp.asarray(item["latents_label"])[None],
+                    jax.random.fold_in(r_ctrl, 1), C, scaling,
+                ).astype(jnp.bfloat16)
             prompt = jnp.asarray(item["prompt_embeds"])[None].astype(jnp.bfloat16)
             noise = jax.random.normal(r_noise, (1, F_lat, C, H, W), dtype=jnp.float32)
             latents = sample_jit(params, noise, image_latents, prompt, r_samp, **kwargs)
@@ -269,7 +279,11 @@ def main(argv=None):
     args = p.parse_args(argv)
     exp = args.experiment
     if exp and not exp.endswith(".yaml"):
-        exp = str(default_config_dir() / "experiments" / f"{exp}.yaml")
+        for sub in ("eval", "experiments"):
+            cand = default_config_dir() / sub / f"{exp}.yaml"
+            if cand.exists():
+                exp = str(cand)
+                break
     cfg = load_config(args.base, exp, args.dataset_type, None, args.overrides)
     return evaluate(cfg, max_batches=args.max_batches)
 

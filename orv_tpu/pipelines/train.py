@@ -44,10 +44,16 @@ from orv_tpu.utils.tracker import Tracker
 def build_dit_config(cfg: Config) -> DiTConfig:
     t = cfg.transformer
     if t.get("config_path"):
-        # scratch-model config file (orv_tpu/config/transformer/*.yaml)
+        # scratch-model config file (orv_tpu/config/transformer/*.yaml);
+        # relative paths resolve against the package config dir
         import yaml as _yaml
 
-        with open(str(t["config_path"])) as f:
+        from orv_tpu.configs import default_config_dir
+
+        path = Path(str(t["config_path"]))
+        if not path.exists():
+            path = default_config_dir() / path
+        with open(path) as f:
             base = _yaml.safe_load(f) or {}
         merged = dict(base)
         merged.update({k: v for k, v in dict(t).items() if k != "config_path"})
@@ -76,7 +82,10 @@ def build_dit_config(cfg: Config) -> DiTConfig:
     )
 
 
-def build_dataset(cfg: Config, split: str = "train"):
+def build_dataset(cfg: Config, split: str = "train", cascaded: bool = False):
+    """Construct the dataset the config describes. `cascaded=True` builds a
+    CascadedRobotDataset (chunk-chained long-horizon index) from scratch —
+    never by mutating an existing instance's __class__."""
     d = cfg.dataset
     ds_cfg = DatasetConfig(
         data_root=d.data_root,
@@ -95,13 +104,26 @@ def build_dataset(cfg: Config, split: str = "train"):
         embeddings_folder=d.get("embeddings_folder", "embeddings_full"),
         annotations_folder=d.get("annotations_folder", "annotations"),
         load_tensors=d.get("load_tensors", True),
+        load_actions=d.get("load_actions", True),
         slice_frame=d.get("slice_frame", True),
         vae_has_first_single_frame=d.get("vae_has_first_single_frame", True),
         use_cond=cfg.get("use_cond", False),
+        filter_by_cond=cfg.get("filter_by_cond", False),
         no_traj=cfg.get("no_traj", False),
         empty_prompt=cfg.get("empty_prompt", True),
         control_keys=tuple(cfg.get("control_keys", ("depth", "label"))),
+        ref_num=cfg.get("num_observation", 1),
+        ori_size=tuple(d["ori_size"]) if d.get("ori_size") else None,
+        renderings_folder=d.get("renderings_folder", "renderings"),
+        load_condGT=d.get("load_condGT", False),
     )
+    if cascaded:
+        from orv_tpu.data import CascadedRobotDataset
+
+        if cfg.get("multiview"):
+            raise ValueError("cascaded multiview evaluation is not supported "
+                             "(matches the reference: cascaded mode is single-view)")
+        return CascadedRobotDataset(ds_cfg)
     if cfg.get("multiview"):
         return MultiViewRobotDataset(ds_cfg)
     return RobotDataset(ds_cfg)
@@ -304,6 +326,7 @@ def train(cfg: Config):
         noised_image_dropout=float(tcfg.get("noised_image_dropout", 0.05)),
         recon_action=bool(cfg.get("recon_action", False)),
         image_rotary_emb=image_rotary_emb,
+        patch_size_t=dit_cfg.patch_size_t,
     )
     # multiview batches are bucket-homogeneous in view count but the count
     # varies across buckets: specialize the jitted step per num_views

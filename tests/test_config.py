@@ -60,3 +60,35 @@ def test_config_attr_access():
     assert c.a.b.c == 5
     assert c.get_path("a.b.c") == 5
     assert c.get_path("a.b.missing", 7) == 7
+
+
+def test_all_experiment_recipes_load_and_build():
+    """Every train recipe (reference config/traj_image_*.yaml surface) must
+    merge over base_train and produce a valid DiTConfig."""
+    from orv_tpu.pipelines.train import build_dit_config
+
+    recipes = sorted((CFG_DIR / "experiments").glob("*.yaml"))
+    assert len(recipes) >= 13  # full reference train-recipe surface
+    for r in recipes:
+        cfg = load_config(str(CFG_DIR / "base_train.yaml"), str(r),
+                          dataset_type="bridgev2")
+        dit = build_dit_config(cfg)
+        assert dit.num_layers > 0 and dit.inner_dim % dit.attention_head_dim == 0, r.name
+
+
+def test_all_eval_recipes_load_and_build():
+    from orv_tpu.pipelines.train import build_dit_config
+
+    recipes = sorted((CFG_DIR / "eval").glob("*.yaml"))
+    assert len(recipes) >= 6  # full reference eval-recipe surface
+    for r in recipes:
+        cfg = load_config(str(CFG_DIR / "base_eval.yaml"), str(r),
+                          dataset_type="bridgev2")
+        dit = build_dit_config(cfg)
+        assert cfg.evaluation.batch_size >= 1, r.name
+        assert dit.num_layers > 0, r.name
+    casc = load_config(str(CFG_DIR / "base_eval.yaml"),
+                       str(CFG_DIR / "eval" / "eval_traj_image_2b_finetune_cascaded.yaml"),
+                       dataset_type="bridgev2")
+    assert casc.evaluation.cascaded is True
+    assert casc.dataset.load_tensors is False  # raw-frame path configuration
