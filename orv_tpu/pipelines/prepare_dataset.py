@@ -122,6 +122,77 @@ def align_depth_scale(mono_depth: np.ndarray, metric_points: np.ndarray,
     return float((p * t).sum() / denom) if denom > 0 else 1.0
 
 
+def compute_scale_and_shift(prediction: np.ndarray, target: np.ndarray,
+                            mask: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-map scale (shift pinned to 0) between predicted and target depth
+    — the reference's compute_scale_and_shift_np (prepare_dataset.py:1872-1882):
+    scale = sum(m*p*t)/sum(m*p*p) over the (H, W) axes of [N, H, W] maps."""
+    a_00 = np.sum(mask * prediction * prediction, axis=(1, 2))
+    b_0 = np.sum(mask * prediction * target, axis=(1, 2))
+    scale = np.zeros_like(b_0)
+    valid = a_00 != 0
+    scale[valid] = b_0[valid] / a_00[valid]
+    return scale, np.zeros_like(scale)
+
+
+def align_multiview_extrinsics(extrin: np.ndarray, scale: float,
+                               shift: float = 0.0) -> np.ndarray:
+    """Rescale estimated multiview extrinsics to metric scale (reference
+    align_multiview_extrins :1960-1975): translations scale by `scale`, then
+    every view shifts by the world-space offset that moves view-0's camera
+    by `shift` along its z axis. extrin: [V, 3, 4] or [V, 4, 4] OpenCV
+    world->cam. Returns [V, 4, 4]."""
+    V = len(extrin)
+    E = np.tile(np.eye(4, dtype=np.float64), (V, 1, 1))
+    E[:, :3, :4] = np.asarray(extrin, np.float64)[:, :3, :4]
+    global_shift = np.linalg.inv(E[0]) @ np.array([0.0, 0.0, float(shift), 1.0])
+    E[:, :3, -1] = E[:, :3, -1] * float(scale) + global_shift[:3]
+    return E
+
+
+def tsdf_fuse(
+    depths: Sequence[np.ndarray],  # per-frame [H, W] metric depth
+    poses: np.ndarray,  # [F, 4, 4] cam->world
+    K: np.ndarray,  # [3, 3]
+    point_cloud_range=POINT_CLOUD_RANGE,
+    voxel_size: float = 0.004,
+    trunc: float = 0.012,
+    min_weight: float = 1.0,
+) -> np.ndarray:
+    """Owned dense-surface stage (stands in for the reference's NKSR neural
+    reconstruction, prepare_dataset.py:727-766, 786-875): fuse a truncated
+    signed distance volume from the depth maps and return near-surface
+    points (voxel centers where |tsdf| < half a voxel). Pure numpy; volume
+    bounded to the occupancy workspace so memory stays ~15MB at 4mm."""
+    lo = np.asarray(point_cloud_range[:3], np.float64)
+    hi = np.asarray(point_cloud_range[3:], np.float64)
+    dims = np.maximum(((hi - lo) / voxel_size).astype(int), 1)
+    grid = np.stack(np.meshgrid(
+        lo[0] + (np.arange(dims[0]) + 0.5) * voxel_size,
+        lo[1] + (np.arange(dims[1]) + 0.5) * voxel_size,
+        lo[2] + (np.arange(dims[2]) + 0.5) * voxel_size,
+        indexing="ij"), -1).reshape(-1, 3)  # [M, 3] world voxel centers
+    tsdf = np.zeros(len(grid))
+    weight = np.zeros(len(grid))
+    for d, pose in zip(depths, poses):
+        H, W = d.shape
+        w2c = np.linalg.inv(pose)
+        cam = grid @ w2c[:3, :3].T + w2c[:3, 3]
+        z = cam[:, 2]
+        u = np.round(cam[:, 0] / np.maximum(z, 1e-9) * K[0, 0] + K[0, 2]).astype(int)
+        v = np.round(cam[:, 1] / np.maximum(z, 1e-9) * K[1, 1] + K[1, 2]).astype(int)
+        ok = (z > 1e-4) & (u >= 0) & (u < W) & (v >= 0) & (v < H)
+        dz = np.zeros(len(grid))
+        dz[ok] = d[v[ok], u[ok]]
+        ok &= dz > 0
+        sdf = np.clip((dz - z) / trunc, -1.0, 1.0)
+        upd = ok & (dz - z > -trunc)
+        tsdf[upd] = (tsdf[upd] * weight[upd] + sdf[upd]) / (weight[upd] + 1.0)
+        weight[upd] += 1.0
+    surf = (np.abs(tsdf) < (voxel_size * 0.5) / trunc) & (weight >= min_weight)
+    return grid[surf].astype(np.float32)
+
+
 def points_to_voxels(
     points: np.ndarray,  # [N, 3]
     labels: np.ndarray,  # [N] int
@@ -340,9 +411,12 @@ def _labels_for(ep_dir: str, n_points_per_frame: List[int]) -> List[np.ndarray]:
 
 
 def run_reconstruction(data_root: str, backend: str = "depth_unproject",
-                       **voxel_kwargs):
+                       dense: bool = False, **voxel_kwargs):
     """Built-in reconstruction: per-episode depth unprojection -> filtered
-    points -> labeled occupancy .npz (restartable, skip-if-exists)."""
+    points -> labeled occupancy .npz (restartable, skip-if-exists).
+    `dense=True` adds the owned TSDF dense-surface stage (the reference's
+    NKSR step): fused surface points are unioned into every frame's cloud
+    with background label before voxelization."""
     recon = get_backend(backend)
 
     def stage_fn(ep_dir: str):
@@ -350,6 +424,17 @@ def run_reconstruction(data_root: str, backend: str = "depth_unproject",
         result = recon(ep_dir)
         pts = [statistical_outlier_removal(p) for p in result["points"]]
         labels = _labels_for(ep_dir, [len(p) for p in pts])
+        if dense:
+            ep = Path(ep_dir)
+            K = np.asarray(json.loads((ep / "intrinsics.json").read_text())["K"])
+            poses = result.get("poses")
+            depth_files = sorted((ep / "depth").glob("*.npy"))
+            depths = [np.load(f) for f in depth_files]
+            surf = tsdf_fuse(depths, poses, K)
+            np.savez(ep / "dense_surface.npz", points=surf)
+            bg = np.zeros(len(surf), np.int64)
+            pts = [np.concatenate([p, surf]) for p in pts]
+            labels = [np.concatenate([l, bg]) for l in labels]
         occ = occupancy_from_frames(pts, labels, **voxel_kwargs)
         np.savez(out,
                  coors=np.concatenate([o["coors"] for o in occ]),
@@ -384,25 +469,243 @@ def run_render(data_root: str, image_shape=(240, 320), **kwargs):
     return run_stage_pipeline(stages, _episode_dirs(data_root))
 
 
+# ---------------------------------------------------------------------------
+# cameras action (reference get_cameras + align_multiview_extrins)
+# ---------------------------------------------------------------------------
+
+@register_backend("pose_cameras")
+def pose_cameras_backend(episode_dir: str) -> Dict[str, np.ndarray]:
+    """Built-in cameras backend for episodes that ship poses + depth:
+    emits the reference cameras-npz layout {extrin [V,3,4] world->cam,
+    intrin [V,3,3], depth_map [V,H,W]} from poses.npy/intrinsics.json.
+    A VGGT-style multiview estimator plugs in via register_backend with
+    the same output contract (reference prepare_dataset.py:676-712)."""
+    ep = Path(episode_dir)
+    K = np.asarray(json.loads((ep / "intrinsics.json").read_text())["K"])
+    poses = np.load(ep / "poses.npy")  # [F, 4, 4] cam->world
+    depth_files = sorted((ep / "depth").glob("*.npy"))
+    views = min(len(poses), len(depth_files)) or len(poses)
+    extrin = np.stack([np.linalg.inv(poses[v])[:3, :4] for v in range(views)])
+    depth_map = (np.stack([np.load(f) for f in depth_files[:views]])
+                 if depth_files else np.zeros((views, 1, 1), np.float32))
+    return {"extrin": extrin.astype(np.float32),
+            "intrin": np.tile(K[None].astype(np.float32), (views, 1, 1)),
+            "depth_map": depth_map.astype(np.float32)}
+
+
+def run_cameras(data_root: str, backend: str = "pose_cameras"):
+    """--action cameras: per-episode camera estimation (pluggable backend)
+    -> cameras.npz, then metric alignment of the estimated extrinsics
+    against the episode's metric depth (owned math: compute_scale_and_shift
+    + align_multiview_extrinsics) -> aligned_cameras.npz."""
+    cams = get_backend(backend)
+
+    def estimate_fn(ep_dir: str):
+        out = cams(ep_dir)
+        np.savez(Path(ep_dir) / "cameras.npz", **out)
+
+    def align_fn(ep_dir: str):
+        ep = Path(ep_dir)
+        data = np.load(ep / "cameras.npz")
+        est_depth = data["depth_map"][0]
+        metric_files = sorted((ep / "depth").glob("*.npy"))
+        if metric_files:
+            metric = np.load(metric_files[0]).astype(np.float64)
+            if metric.shape != est_depth.shape:  # backend may run at its own res
+                sy = metric.shape[0] / est_depth.shape[0]
+                sx = metric.shape[1] / est_depth.shape[1]
+                yy = (np.arange(est_depth.shape[0]) * sy).astype(int)
+                xx = (np.arange(est_depth.shape[1]) * sx).astype(int)
+                metric = metric[yy][:, xx]
+            mask = np.ones_like(metric)
+            scale, shift = compute_scale_and_shift(
+                est_depth[None].astype(np.float64), metric[None], mask[None])
+            scale, shift = float(scale[0]), float(shift[0])
+        else:
+            scale, shift = 1.0, 0.0
+        aligned = align_multiview_extrinsics(data["extrin"], scale, shift)
+        np.savez(ep / "aligned_cameras.npz",
+                 aligned_extrin=aligned.astype(np.float32), intrin=data["intrin"])
+
+    stages = [
+        Stage("cameras", estimate_fn, lambda k: str(Path(k) / "cameras.npz")),
+        Stage("align", align_fn, lambda k: str(Path(k) / "aligned_cameras.npz")),
+    ]
+    return run_stage_pipeline(stages, _episode_dirs(data_root))
+
+
+# ---------------------------------------------------------------------------
+# labeling action (reference get_captions -> vocab -> get_labels ->
+# postprocess_labels; the VLM captioner and GroundingDINO+SAM2 tracker are
+# pluggable backends, everything else is owned)
+# ---------------------------------------------------------------------------
+
+@register_backend("objects_file")
+def objects_file_caption_backend(episode_dir: str) -> List[str]:
+    """Built-in caption backend: reads `{ep}/objects.txt` (one object class
+    per line) — the contract a QwenVL captioner fulfills from pixels
+    (reference prepare_dataset.py:1557-1563 response parsing)."""
+    f = Path(episode_dir) / "objects.txt"
+    if not f.exists():
+        return []
+    return sorted({ln.strip().lower() for ln in f.read_text().splitlines() if ln.strip()})
+
+
+@register_backend("gt_masks")
+def gt_masks_tracker_backend(episode_dir: str, track_labels: Sequence[str]):
+    """Built-in tracker backend: loads `{ep}/masks/frame_*.npy` boolean
+    [n_obj, H, W] stacks (per-frame instance masks, object order matching
+    `{ep}/objects.txt`). A GroundingDINO+SAM2 tracker fulfills the same
+    contract from pixels (reference :1150-1282)."""
+    files = sorted((Path(episode_dir) / "masks").glob("frame_*.npy"))
+    return [np.load(f).astype(bool) for f in files]
+
+
+def hash_embedding(text: str, dim: int = 64) -> np.ndarray:
+    """Deterministic bag-of-trigrams hashed embedding — the built-in stand-in
+    for a sentence-embedding backend so vocabulary clustering stays runnable
+    offline. Same-word captions collide to identical vectors, which is the
+    property clustering needs."""
+    v = np.zeros(dim, np.float64)
+    t = f"##{text.lower()}##"
+    for i in range(len(t) - 2):
+        h = hash(t[i:i + 3]) % dim
+        v[h] += 1.0
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def build_label_vocab(data_root: str, caption_backend: str = "objects_file",
+                      embed_fn: Optional[Callable] = None, n_labels: int = 51):
+    """Caption every episode, cluster captions into a canonical label
+    vocabulary, and write renderings-style caption metadata:
+    captions/all_captions.jsonl (episode_id, track_labels, label_ids) +
+    captions/labels.txt (reference :1489-1579 + vocab build)."""
+    cap = get_backend(caption_backend)
+    embed = embed_fn or hash_embedding
+    eps = _episode_dirs(data_root)
+    per_ep = {e: cap(e) for e in eps}
+    vocab_captions = sorted({c for caps in per_ep.values() for c in caps})
+    if not vocab_captions:
+        raise ValueError(f"no captions produced by backend '{caption_backend}'")
+    embs = np.stack([embed(c) for c in vocab_captions])
+    label_map = cluster_label_vocab(embs, vocab_captions, n_labels=n_labels)
+    # canonical label list: representative caption per cluster id
+    n_cluster = max(label_map.values()) + 1
+    labels_txt = ["" for _ in range(n_cluster)]
+    for c, l in label_map.items():
+        if not labels_txt[l]:
+            labels_txt[l] = c
+    out_dir = Path(data_root) / "captions"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    (out_dir / "labels.txt").write_text("\n".join(labels_txt) + "\n")
+    with open(out_dir / "all_captions.jsonl", "w") as f:
+        for e in eps:
+            caps = per_ep[e]
+            f.write(json.dumps({
+                "episode_id": Path(e).name,
+                "track_labels": caps,
+                "label_ids": [label_map[c] for c in caps],
+            }) + "\n")
+    return label_map
+
+
+def generate_colors(n: int = 60) -> List[Tuple[int, int, int]]:
+    """Evenly-hued HSV palette, last color black (background) — the
+    reference's 60-color semantic palette (prepare_dataset.py:1436-1448)."""
+    import colorsys
+
+    colors = []
+    for i in range(n):
+        r, g, b = colorsys.hsv_to_rgb(i / n, 0.75, 0.95)
+        colors.append((int(r * 255), int(g * 255), int(b * 255)))
+    colors[-1] = (0, 0, 0)
+    return colors
+
+
+def postprocess_label_frames(frames: List[Dict[str, np.ndarray]],
+                             n_colors: int = 60):
+    """Owned mask post-process (reference _postprocess_labels :1377-1434):
+    adds 'annotated_frame_color' [H,W,3] uint8 (palette by label id, painted
+    large-to-small in the FIRST frame's area order for temporal stability)
+    and 'annotated_frame_index' [H,W] uint8 (label ids, background 255) to
+    each per-frame dict {masks [n,H,W] bool, label_ids [n]} in place."""
+    palette = np.asarray(generate_colors(n_colors), np.uint8)
+    order = None
+    for fr in frames:
+        masks = fr["masks"].astype(bool)
+        label_ids = np.asarray(fr["label_ids"]).astype(np.int32)
+        H, W = masks.shape[-2:]
+        if order is None:  # fixed painting order -> no label flicker
+            areas = masks.reshape(len(masks), -1).sum(1)
+            order = np.flip(np.argsort(areas))
+        color = np.zeros((H, W, 3), np.uint8)
+        index = np.full((H, W), -1, np.int32)
+        for di in order:
+            color[masks[di]] = palette[label_ids[di] % n_colors]
+            index[masks[di]] = label_ids[di]
+        fr["annotated_frame_color"] = color
+        fr["annotated_frame_index"] = index.astype(np.uint8)  # -1 -> 255
+    return frames
+
+
+def run_labeling(data_root: str, caption_backend: str = "objects_file",
+                 tracker_backend: str = "gt_masks"):
+    """--action labeling: captions -> owned vocabulary clustering ->
+    per-episode instance tracking (pluggable) -> owned color/index map
+    post-process. Writes semantics/{episode}/frame_XXXX.npz in the
+    reference layout {masks, track_labels, object_ids, label_ids,
+    annotated_frame_color, annotated_frame_index}."""
+    build_label_vocab(data_root, caption_backend)
+    with open(Path(data_root) / "captions" / "all_captions.jsonl") as f:
+        captions = {j["episode_id"]: j for j in map(json.loads, f) if j["track_labels"]}
+    tracker = get_backend(tracker_backend)
+
+    def stage_fn(ep_dir: str):
+        ep = Path(ep_dir)
+        meta = captions.get(ep.name)
+        if meta is None:
+            return
+        mask_stacks = tracker(ep_dir, meta["track_labels"])
+        frames = [{"masks": m,
+                   "track_labels": np.asarray(meta["track_labels"]),
+                   "object_ids": np.arange(1, len(m) + 1, dtype=np.uint8),
+                   "label_ids": np.asarray(meta["label_ids"], np.uint8)[: len(m)]}
+                  for m in mask_stacks]
+        postprocess_label_frames(frames)
+        out_dir = ep / "semantics"
+        out_dir.mkdir(exist_ok=True)
+        for i, fr in enumerate(frames):
+            np.savez_compressed(out_dir / f"frame_{i:04d}.npz", **fr)
+        (out_dir / ".done").write_text(str(len(frames)))
+
+    stages = [Stage("labeling", stage_fn,
+                    lambda k: str(Path(k) / "semantics" / ".done"))]
+    return run_stage_pipeline(stages, _episode_dirs(data_root))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--action", required=True,
                    choices=["reconstruction", "cameras", "labeling", "render"])
     p.add_argument("--data_root", required=True)
-    p.add_argument("--backend", default="depth_unproject")
+    p.add_argument("--backend", default=None,
+                   help="perception backend override (see register_backend)")
+    p.add_argument("--tracker_backend", default="gt_masks")
+    p.add_argument("--dense", action="store_true",
+                   help="reconstruction: add the TSDF dense-surface stage")
     p.add_argument("--split", default="train")
     args = p.parse_args(argv)
     if args.action == "reconstruction":
-        done = run_reconstruction(args.data_root, args.backend)
+        done = run_reconstruction(args.data_root, args.backend or "depth_unproject",
+                                  dense=args.dense)
     elif args.action == "render":
         done = run_render(args.data_root)
-    else:
-        raise SystemExit(
-            f"action '{args.action}' wraps external perception models "
-            "(VGGT / QwenVL / SAM2): register a backend via "
-            "orv_tpu.pipelines.prepare_dataset.register_backend and compose "
-            "cluster_label_vocab / align_depth_scale with run_stage_pipeline."
-        )
+    elif args.action == "cameras":
+        done = run_cameras(args.data_root, args.backend or "pose_cameras")
+    elif args.action == "labeling":
+        done = run_labeling(args.data_root, args.backend or "objects_file",
+                            args.tracker_backend)
     CONSOLE.log(f"{args.action}: {len(done)} episodes done")
 
 

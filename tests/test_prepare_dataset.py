@@ -113,3 +113,125 @@ def test_stage_pipeline_skip_if_exists(tmp_path):
     assert (calls / "s2_b").exists()  # downstream still ran
     for k in keys:
         assert (tmp_path / f"s2_{k}.out").exists()
+
+
+def _make_episode(root, name="00000", F=3, H=24, W=32, with_objects=True):
+    """Synthetic episode: flat plane + a box, depth maps + poses +
+    objects.txt + GT instance masks."""
+    ep = root / name
+    (ep / "depth").mkdir(parents=True)
+    (ep / "masks").mkdir()
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    (ep / "intrinsics.json").write_text(json.dumps({"K": K.tolist()}))
+    np.save(ep / "poses.npy", np.stack([np.eye(4)] * F))
+    for f in range(F):
+        d = np.full((H, W), 0.3, np.float32)
+        d[8:16, 10 + f : 18 + f] = 0.15  # moving box closer to camera
+        np.save(ep / "depth" / f"{f:05d}.npy", d)
+        m = np.zeros((2, H, W), bool)
+        m[0, 8:16, 10 + f : 18 + f] = True  # box
+        m[1] = ~m[0]  # table
+        np.save(ep / "masks" / f"frame_{f:04d}.npy", m)
+    if with_objects:
+        (ep / "objects.txt").write_text("red box\nwooden table\n")
+    return ep
+
+
+def test_cameras_action(tmp_path):
+    from orv_tpu.pipelines.prepare_dataset import main as prep_main
+
+    _make_episode(tmp_path)
+    prep_main(["--action", "cameras", "--data_root", str(tmp_path)])
+    cams = np.load(tmp_path / "00000" / "cameras.npz")
+    assert cams["extrin"].shape[1:] == (3, 4)
+    aligned = np.load(tmp_path / "00000" / "aligned_cameras.npz")
+    E = aligned["aligned_extrin"]
+    assert E.shape[1:] == (4, 4)
+    # backend depth IS the metric depth here -> scale 1, identity preserved
+    np.testing.assert_allclose(E[0], np.eye(4), atol=1e-5)
+
+
+def test_compute_scale_and_shift():
+    from orv_tpu.pipelines.prepare_dataset import compute_scale_and_shift
+
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(0.5, 2.0, (1, 16, 16))
+    target = pred * 2.5
+    scale, shift = compute_scale_and_shift(pred, target, np.ones_like(pred))
+    assert scale[0] == pytest.approx(2.5)
+    assert shift[0] == 0.0
+
+
+def test_align_multiview_extrinsics_scales_translation():
+    from orv_tpu.pipelines.prepare_dataset import align_multiview_extrinsics
+
+    E = np.stack([np.eye(4), np.eye(4)])
+    E[1, :3, 3] = [0.1, 0.0, 0.2]
+    out = align_multiview_extrinsics(E[:, :3, :4], scale=2.0, shift=0.0)
+    np.testing.assert_allclose(out[1, :3, 3], [0.2, 0.0, 0.4], atol=1e-9)
+
+
+def test_labeling_action(tmp_path):
+    from orv_tpu.pipelines.prepare_dataset import main as prep_main
+
+    _make_episode(tmp_path, "00000")
+    _make_episode(tmp_path, "00001")
+    prep_main(["--action", "labeling", "--data_root", str(tmp_path)])
+    # vocabulary artifacts (reference captions layout)
+    labels_txt = (tmp_path / "captions" / "labels.txt").read_text().splitlines()
+    assert len(labels_txt) >= 1
+    with open(tmp_path / "captions" / "all_captions.jsonl") as f:
+        meta = [json.loads(l) for l in f]
+    assert meta[0]["track_labels"] == ["red box", "wooden table"]
+    # per-frame semantics in the reference npz layout
+    files = sorted((tmp_path / "00000" / "semantics").glob("frame_*.npz"))
+    assert len(files) == 3
+    fr = np.load(files[0], allow_pickle=True)
+    assert fr["masks"].shape == (2, 24, 32)
+    idx = fr["annotated_frame_index"]
+    color = fr["annotated_frame_color"]
+    assert idx.dtype == np.uint8 and color.dtype == np.uint8
+    # box and table painted with their label colors; no background here
+    assert len(np.unique(idx)) == 2
+    # temporal stability: same label -> same color across frames
+    fr2 = np.load(files[2], allow_pickle=True)
+    box_color_0 = color[10, 14]
+    box_color_2 = fr2["annotated_frame_color"][10, 16]
+    np.testing.assert_array_equal(box_color_0, box_color_2)
+
+
+def test_postprocess_label_frames_order_and_background():
+    from orv_tpu.pipelines.prepare_dataset import postprocess_label_frames
+
+    H, W = 8, 8
+    big = np.zeros((H, W), bool); big[:, :6] = True
+    small = np.zeros((H, W), bool); small[2:4, 2:4] = True
+    frames = [{"masks": np.stack([small, big]), "label_ids": np.array([3, 7])}]
+    postprocess_label_frames(frames)
+    idx = frames[0]["annotated_frame_index"]
+    assert idx[3, 3] == 3      # small painted on top of big
+    assert idx[0, 0] == 7      # big elsewhere
+    assert idx[0, 7] == 255    # background -1 -> uint8 255
+
+
+def test_tsdf_dense_surface(tmp_path):
+    from orv_tpu.pipelines.prepare_dataset import tsdf_fuse
+
+    H, W = 32, 32
+    K = np.array([[40.0, 0, W / 2], [0, 40.0, H / 2], [0, 0, 1]])
+    depths = [np.full((H, W), 0.2, np.float32)] * 3
+    poses = np.stack([np.eye(4)] * 3)
+    pts = tsdf_fuse(depths, poses, K, voxel_size=0.004)
+    assert len(pts) > 50
+    # fused surface sits at the z=0.2 plane
+    assert abs(float(np.median(pts[:, 2])) - 0.2) < 0.01
+
+
+def test_reconstruction_dense_action(tmp_path):
+    from orv_tpu.pipelines.prepare_dataset import main as prep_main
+
+    _make_episode(tmp_path)
+    prep_main(["--action", "reconstruction", "--data_root", str(tmp_path), "--dense"])
+    assert (tmp_path / "00000" / "dense_surface.npz").exists()
+    occ = np.load(tmp_path / "00000" / "occupancy.npz")
+    assert occ["frame_sizes"].sum() == len(occ["coors"])
