@@ -197,24 +197,50 @@ def main(argv=None):
     p.add_argument("--pred_dir", required=True)
     p.add_argument("--output_csv", default="metrics.csv")
     p.add_argument("--suffix", default=".mp4")
+    p.add_argument("--inception_weights", default=None,
+                   help="torch InceptionV3 state dict (.pt/.pth) — enables FID")
+    p.add_argument("--i3d_weights", default=None,
+                   help="torch I3D state dict (.pt/.pth) — enables FVD")
     args = p.parse_args(argv)
 
     pairs = pair_files(args.gt_dir, args.pred_dir, args.suffix)
     if not pairs:
         raise SystemExit(f"no (gt, pred) pairs found between {args.gt_dir} and {args.pred_dir}")
     rows = []
+    gts, preds = [], []
+    collect = bool(args.inception_weights or args.i3d_weights)
     for gt_path, pred_path in pairs:
         gt, pred = read_video(gt_path), read_video(pred_path)
+        if collect:
+            gts.append(gt)
+            preds.append(pred)
         ps, ss = video_psnr_ssim(pred, gt)
         rows.append({"name": Path(pred_path).stem, "psnr": ps, "ssim": ss})
         CONSOLE.log(f"{Path(pred_path).stem}: PSNR {ps:.2f} SSIM {ss:.4f}")
+    summary = {"name": "MEAN",
+               "psnr": float(np.mean([r["psnr"] for r in rows])),
+               "ssim": float(np.mean([r["ssim"] for r in rows]))}
+    fields = ["name", "psnr", "ssim"]
+    if args.inception_weights:
+        from orv_tpu.models.feature_extractors import inception_pool3_features
+
+        fid = compute_fid(gts, preds, inception_pool3_features(args.inception_weights))
+        summary["fid"] = fid
+        fields.append("fid")
+        CONSOLE.log(f"FID: {fid:.3f}")
+    if args.i3d_weights:
+        from orv_tpu.models.feature_extractors import i3d_features
+
+        fvd = compute_fvd(gts, preds, i3d_features(args.i3d_weights))
+        for L, val in fvd.items():
+            summary[f"fvd_{L}"] = val
+            fields.append(f"fvd_{L}")
+            CONSOLE.log(f"FVD@{L}: {val:.3f}")
     with open(args.output_csv, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=["name", "psnr", "ssim"])
+        w = csv.DictWriter(f, fieldnames=fields)
         w.writeheader()
         w.writerows(rows)
-        w.writerow({"name": "MEAN",
-                    "psnr": float(np.mean([r["psnr"] for r in rows])),
-                    "ssim": float(np.mean([r["ssim"] for r in rows]))})
+        w.writerow(summary)
     CONSOLE.log(f"wrote {args.output_csv} ({len(rows)} pairs)")
 
 
