@@ -156,17 +156,41 @@ def diffusion_loss(
     recon_action: bool = False,
     num_views: int = 1,
     image_rotary_emb=None,
+    patch_size_t: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """One loss evaluation. batch keys (all [B, ...], layouts match the
     reference collate): 'latents' (moments [B,2C,F,H,W]), 'image_latents'
     (moments, F_img frames), 'prompt_embeds', optional 'actions',
-    'latents_depth'/'latents_label' (moments), optional 'frame_mask' [F]."""
+    'latents_depth'/'latents_label' (moments), optional 'frame_mask' [F].
+
+    `patch_size_t` (CogVideoX-1.5 family): frame counts not divisible by
+    the temporal patch are zero-padded (actions by 4 raw frames per padded
+    latent frame) and the padded tail is masked out of the loss via
+    frame_mask — reference train loop :943-964."""
     r_lat, r_img, r_noise, r_t, r_drop, r_mask, r_cond = jax.random.split(rng, 7)
 
     lat = sample_from_moments(batch["latents"], r_lat) * vae_scaling_factor
     lat = lat.transpose(0, 2, 1, 3, 4)  # [B, F, C, H, W]
     img = sample_from_moments(batch["image_latents"], r_img) * vae_scaling_factor
     img = img.transpose(0, 2, 1, 3, 4)
+
+    batch = dict(batch)
+    pad_frames = 0
+    if patch_size_t and lat.shape[1] % patch_size_t != 0:
+        if num_views > 1:
+            raise ValueError("patch_size_t frame padding is single-view only "
+                             "(matches the reference train loop)")
+        pad_frames = patch_size_t - lat.shape[1] % patch_size_t
+        lat = jnp.concatenate(
+            [lat, jnp.zeros((lat.shape[0], pad_frames, *lat.shape[2:]), lat.dtype)], 1)
+        if batch.get("actions") is not None:
+            a = batch["actions"]
+            batch["actions"] = jnp.concatenate(
+                [a, jnp.zeros((a.shape[0], pad_frames * 4, a.shape[2]), a.dtype)], 1)
+        fm = jnp.ones((lat.shape[1],), bool).at[-pad_frames:].set(False)
+        prev = batch.get("frame_mask")
+        batch["frame_mask"] = fm if prev is None else jnp.concatenate(
+            [prev.astype(bool), fm[prev.shape[0]:]])
 
     B, F = lat.shape[0], lat.shape[1]
     # zero-pad image latents to video length
@@ -182,13 +206,19 @@ def diffusion_loss(
     model_in = jnp.concatenate([noisy, img], axis=2)  # [B, F, 2C, H, W]
 
     depths = labels = None
+    def pad_f(x):  # zero-pad control latents to the padded frame count
+        if pad_frames and x.shape[1] < F:
+            x = jnp.concatenate(
+                [x, jnp.zeros((x.shape[0], F - x.shape[1], *x.shape[2:]), x.dtype)], 1)
+        return x
+
     if batch.get("latents_depth") is not None:
         d = sample_from_moments(batch["latents_depth"], r_cond) * vae_scaling_factor
-        d = d.transpose(0, 2, 1, 3, 4)
+        d = pad_f(d.transpose(0, 2, 1, 3, 4))
         depths = jnp.concatenate([d, d], axis=2)
     if batch.get("latents_label") is not None:
         l = sample_from_moments(batch["latents_label"], jax.random.fold_in(r_cond, 1))
-        l = (l * vae_scaling_factor).transpose(0, 2, 1, 3, 4)
+        l = pad_f((l * vae_scaling_factor).transpose(0, 2, 1, 3, 4))
         labels = jnp.concatenate([l, l], axis=2)
 
     actions = batch.get("actions")

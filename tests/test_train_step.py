@@ -147,3 +147,44 @@ def test_trainable_predicate_freezes_params():
                    - p0["params"]["blocks"]["mv_block"]["attn1"]["to_q"]["kernel"]).max()
     assert frozen == 0.0
     assert moved > 0.0
+
+
+def test_patch_size_t_frame_padding():
+    """CogVideoX-1.5 path: F not divisible by patch_size_t -> latents and
+    actions zero-pad, padded frames masked out of the loss (reference train
+    loop :943-964)."""
+    import jax
+    import jax.numpy as jnp
+
+    from orv_tpu.models import ControlDiT, DiTConfig
+    from orv_tpu.parallel.train_step import diffusion_loss
+    from orv_tpu.schedulers import make_schedule
+
+    cfg = DiTConfig(
+        num_attention_heads=2, attention_head_dim=16, num_layers=1,
+        in_channels=32, out_channels=16, text_embed_dim=16, time_embed_dim=32,
+        max_text_seq_length=4, sample_width=8, sample_height=8,
+        patch_size_t=2, use_rotary_positional_embeddings=False,
+        use_learned_positional_embeddings=False,
+        modulate_encoder_hidden_states=True,
+    )
+    model = ControlDiT(cfg, dtype=jnp.float32, attn_impl="xla")
+    B, F, C, H, W = 1, 3, 16, 8, 8  # F=3 not divisible by pt=2 -> pad to 4
+    k = jax.random.PRNGKey(0)
+    batch = {
+        "latents": jax.random.normal(k, (B, 2 * C, F, H, W)),
+        "image_latents": jax.random.normal(k, (B, 2 * C, 1, H, W)),
+        "prompt_embeds": jax.random.normal(k, (B, 4, 16)),
+        "actions": jax.random.normal(k, (B, F * 4 - 4, 7)) * 0.1,
+    }
+    params = model.init(
+        {"params": k, "action_mask": jax.random.PRNGKey(1)},
+        jnp.zeros((B, 4, 32, H, W)), batch["prompt_embeds"],
+        jnp.zeros((B,), jnp.int32),
+        actions=jnp.zeros((B, 4 * 4 - 4 + 3, 7)), deterministic=False,
+    )
+    loss, metrics = diffusion_loss(
+        model.apply, params, batch, make_schedule(),
+        jax.random.PRNGKey(2), patch_size_t=2,
+    )
+    assert jnp.isfinite(loss)
