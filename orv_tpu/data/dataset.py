@@ -173,6 +173,7 @@ class DatasetConfig:
     ori_size: Optional[Tuple[int, int]] = None  # source video (h, w)
     renderings_folder: str = "renderings"
     load_condGT: bool = False
+    load_video: bool = False  # also return GT rgb frames (demo/eval compare)
     test_mode: bool = False
 
     def start_interval(self) -> int:
@@ -686,6 +687,14 @@ class DemoRobotDataset(RobotDataset):
             num_views=1,
             ref_image=ref * 2.0 - 1.0,  # [H, W, 3] in [-1, 1]
         )
+        if cfg.load_video:
+            # full GT rgb clip (reference demo dataset :1512-1711 loads all
+            # frames so the demo can compare generated vs. real)
+            imgs = np.stack([
+                np.asarray(imageio.imread(frames[i]), dtype=np.uint8)
+                for i in sample["frame_ids"]
+            ])
+            out["videos"] = video_transform(imgs, cfg.ori_size, cfg.video_size)
         if cfg.load_actions and not cfg.no_traj:
             out["actions"] = self._get_actions(ann, sample["frame_ids"])
         return out

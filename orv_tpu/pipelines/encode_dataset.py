@@ -89,45 +89,50 @@ def encode_split(
     H, W = ds_cfg.video_size
     done = skipped = 0
     for sample in work:
-        name = ds._sample_name(sample, view=0)
-        lat_path = out_root / "latents" / f"{name}.npz"
-        img_path = out_root / "image_latents" / f"{name}.npz"
-        if lat_path.exists() and img_path.exists() and not overwrite:
-            skipped += 1
-            continue
         with open(sample["ann_file"]) as f:
             ann = json.load(f)
-        video_file = ann.get("videos", [None])[0]
-        if isinstance(video_file, dict):
-            video_file = video_file.get("video_path")
-        video_path = str(Path(d.data_root) / video_file)
-        frames = read_video_frames(video_path, sample["frame_ids"], (H, W))
-        clip = jnp.asarray(frames.transpose(3, 0, 1, 2))[None]  # [1, C, F, H, W]
-        moments = np.asarray(encode(vae_params, clip)[0], dtype=np.float32)
-        np.savez(lat_path, moments)
-        for r in ref_nums:
-            # reference observations = the first r raw frames (dataset.py
-            # :609-633 num_observation); r>1 files carry a _ref{r} suffix
-            rp = img_path if r <= 1 else (
-                out_root / "image_latents" / f"{ds._sample_name(sample)}_ref{r}.npz")
-            ref = jnp.asarray(frames[:r].transpose(3, 0, 1, 2))[None]
-            np.savez(rp, np.asarray(encode(vae_params, ref)[0], dtype=np.float32))
-        if encode_conds:
-            # depth (3-channel expand of the clamped map) and label (color
-            # map) condition latents — reference encode_dataset.py:792-816,
-            # 865-927; inputs come from the dataset's raw cond loader so the
-            # on-disk convention matches _get_cond_frames exactly
-            conds = ds._get_cond_raw(sample)
-            if "depths" in conds:
-                dep = np.repeat(conds["depths"], 3, axis=1)  # [F,3,H,W]
-                dm = encode(vae_params, jnp.asarray(dep.transpose(1, 0, 2, 3))[None])
-                np.savez(out_root / "depth_latents" / f"{name}.npz",
-                         np.asarray(dm[0], dtype=np.float32))
-            if "labels" in conds:
-                lm = encode(vae_params,
-                            jnp.asarray(conds["labels"].transpose(1, 0, 2, 3))[None])
-                np.savez(out_root / "label_latents" / f"{name}.npz",
-                         np.asarray(lm[0], dtype=np.float32))
+        # per-view loop (reference encode_dataset.py:828-927: multiview
+        # episodes encode every camera's stream with a _{view} suffix)
+        videos = ann.get("videos", [None])
+        for view, video_file in enumerate(videos):
+            name = ds._sample_name(sample, view=view)
+            lat_path = out_root / "latents" / f"{name}.npz"
+            img_path = out_root / "image_latents" / f"{name}.npz"
+            if lat_path.exists() and img_path.exists() and not overwrite:
+                skipped += 1
+                continue
+            if isinstance(video_file, dict):
+                video_file = video_file.get("video_path")
+            if video_file is None:
+                continue
+            video_path = str(Path(d.data_root) / video_file)
+            frames = read_video_frames(video_path, sample["frame_ids"], (H, W))
+            clip = jnp.asarray(frames.transpose(3, 0, 1, 2))[None]  # [1, C, F, H, W]
+            moments = np.asarray(encode(vae_params, clip)[0], dtype=np.float32)
+            np.savez(lat_path, moments)
+            for r in ref_nums:
+                # reference observations = the first r raw frames (dataset.py
+                # :609-633 num_observation); r>1 files carry a _ref{r} suffix
+                rp = img_path if r <= 1 else (
+                    out_root / "image_latents" / f"{ds._sample_name(sample)}_ref{r}.npz")
+                ref = jnp.asarray(frames[:r].transpose(3, 0, 1, 2))[None]
+                np.savez(rp, np.asarray(encode(vae_params, ref)[0], dtype=np.float32))
+            if encode_conds:
+                # depth (3-channel expand of the clamped map) and label (color
+                # map) condition latents — reference encode_dataset.py:792-816,
+                # 865-927; inputs come from the dataset's raw cond loader so the
+                # on-disk convention matches _get_cond_frames exactly
+                conds = ds._get_cond_raw(sample, view_ids=(view,))
+                if "depths" in conds:
+                    dep = np.repeat(conds["depths"], 3, axis=1)  # [F,3,H,W]
+                    dm = encode(vae_params, jnp.asarray(dep.transpose(1, 0, 2, 3))[None])
+                    np.savez(out_root / "depth_latents" / f"{name}.npz",
+                             np.asarray(dm[0], dtype=np.float32))
+                if "labels" in conds:
+                    lm = encode(vae_params,
+                                jnp.asarray(conds["labels"].transpose(1, 0, 2, 3))[None])
+                    np.savez(out_root / "label_latents" / f"{name}.npz",
+                             np.asarray(lm[0], dtype=np.float32))
         done += 1
         if done % 20 == 0:
             CONSOLE.log(f"[{split}] encoded {done}/{len(work)} (skipped {skipped})")

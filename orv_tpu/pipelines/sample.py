@@ -43,6 +43,52 @@ class SamplerConfig:
     invert_scale_latents: bool = False
 
 
+def preprocess_video(
+    image,  # [B, C, F, H, W] / [B, C, H, W] tensors, or [F, H, W, 3] frames
+    height: Optional[int] = None,
+    width: Optional[int] = None,
+    vae_latent_channels: int = 16,
+) -> jnp.ndarray:
+    """The reference VideoProcessor.preprocess semantics (components.py
+    :234-386) on jnp arrays:
+
+      * channel == vae_latent_channels (or 2x -> unsampled moments):
+        input IS latents — passthrough untouched;
+      * otherwise raw pixels: resize to (height, width) bilinear and
+        normalize [0, 1] -> [-1, 1] (already-[-1,1] input left alone).
+
+    Accepts 4D [B, C, H, W], 5D [B, C, F, H, W] (F = n_view * n_frame, as
+    the dataset lays out), or channels-last uint8/float frames [F, H, W, 3].
+    """
+    x = jnp.asarray(image)
+    if x.ndim == 4 and x.shape[-1] in (1, 3):  # [F, H, W, C] frames
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) / 255.0
+        x = x.transpose(3, 0, 1, 2)[None]  # -> [1, C, F, H, W]
+    if x.ndim == 4:
+        x = x[:, :, None]  # [B, C, H, W] -> single frame
+    C = x.shape[1]
+    if C in (vae_latent_channels, 2 * vae_latent_channels):
+        return x  # latents / moments: no pixel preprocess
+    if height is not None and width is not None and x.shape[-2:] != (height, width):
+        B, C, F, H, W = x.shape
+        x = jax.image.resize(x, (B, C, F, height, width), method="bilinear")
+    if float(x.min()) >= 0.0:
+        x = x * 2.0 - 1.0  # normalize [0,1] -> [-1,1]
+    return x
+
+
+def encode_reference_pixels(vae_apply, vae_params, image, height=None, width=None,
+                            latent_channels: int = 16) -> jnp.ndarray:
+    """Raw reference frames -> VAE moments [B, 2C, F', h, w] (the pipeline
+    branch the reference takes when the caller passes pixels instead of
+    precomputed latents, cogvideox_control.py:1115-1168)."""
+    pixels = preprocess_video(image, height, width, latent_channels)
+    if pixels.shape[1] in (latent_channels, 2 * latent_channels):
+        return pixels
+    return vae_apply(vae_params, pixels)
+
+
 def prepare_image_latents(
     image_moments_or_latents: jnp.ndarray,  # [B, 2C or C, F_img, H, W]
     num_latent_frames: int,

@@ -105,6 +105,7 @@ def build_dataset(cfg: Config, split: str = "train", cascaded: bool = False):
         annotations_folder=d.get("annotations_folder", "annotations"),
         load_tensors=d.get("load_tensors", True),
         load_actions=d.get("load_actions", True),
+        load_video=d.get("load_video", False),
         slice_frame=d.get("slice_frame", True),
         vae_has_first_single_frame=d.get("vae_has_first_single_frame", True),
         use_cond=cfg.get("use_cond", False),

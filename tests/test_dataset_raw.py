@@ -145,3 +145,36 @@ def test_multiview_rebalancing():
     # single-view share capped at 0.4 of the ORIGINAL total (reference
     # view_data_ratio {1: 0.4, 2: -1, 3: -1})
     assert n1 == 40
+
+
+def test_demo_dataset_full_frames(tmp_path):
+    """DemoRobotDataset loads the full GT rgb clip when load_video is set
+    (reference demo dataset :1512-1711)."""
+    import imageio.v2 as imageio
+
+    from orv_tpu.data.dataset import DatasetConfig, DemoRobotDataset
+
+    ep = tmp_path / "demo0"
+    (ep / "rgb").mkdir(parents=True)
+    F = 10
+    rng = np.random.default_rng(0)
+    for i in range(F):
+        imageio.imwrite(ep / "rgb" / f"{i:04d}.png",
+                        rng.integers(0, 255, (32, 48, 3), dtype=np.uint8))
+    ann = {"state": rng.normal(size=(F, 6)).tolist(),
+           "continuous_gripper_state": rng.uniform(0, 1, F).tolist(),
+           "texts": ["demo"]}
+    (ep / "annotations.json").write_text(json.dumps(ann))
+
+    cfg = DatasetConfig(data_root=str(tmp_path), sequence_length=4,
+                        sample_frames=5, sequence_interval=1,
+                        start_frame_interval=4, video_size=(32, 48),
+                        ori_size=(32, 48), load_video=True,
+                        vae_has_first_single_frame=True)
+    ds = DemoRobotDataset(cfg)
+    assert len(ds) >= 1
+    item = ds[0]
+    assert item["ref_image"].shape == (32, 48, 3)
+    assert item["videos"].shape == (5, 3, 32, 48)  # full GT clip, [-1,1]
+    assert item["videos"].min() >= -1.0 and item["videos"].max() <= 1.0
+    assert item["actions"].shape[1] == 7

@@ -113,3 +113,30 @@ def test_dynamic_cfg_schedule_matches_reference_formula():
     # NOTE: the reference plugs RAW timesteps (999..19) into a formula shaped
     # for step indices, so the schedule oscillates for t > n — we replicate
     # that behavior bit-for-bit rather than "fixing" it.
+
+
+def test_preprocess_video_latent_passthrough_and_pixels():
+    """VideoProcessor semantics (reference components.py:234-386): latent
+    channels pass through untouched; pixels resize + normalize."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orv_tpu.pipelines.sample import preprocess_video
+
+    # 16-channel -> latents passthrough
+    lat = jnp.ones((1, 16, 2, 8, 8))
+    out = preprocess_video(lat, height=16, width=16)
+    assert out.shape == (1, 16, 2, 8, 8)
+    # 32-channel -> unsampled moments passthrough
+    mom = jnp.ones((1, 32, 2, 8, 8))
+    assert preprocess_video(mom, height=16, width=16).shape == mom.shape
+    # RGB pixels in [0,1] -> resized + normalized to [-1,1]
+    pix = jnp.full((1, 3, 2, 8, 8), 0.5)
+    out = preprocess_video(pix, height=16, width=16)
+    assert out.shape == (1, 3, 2, 16, 16)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    # channels-last uint8 frames
+    frames = (np.ones((4, 8, 8, 3)) * 255).astype(np.uint8)
+    out = preprocess_video(frames, height=8, width=8)
+    assert out.shape == (1, 3, 4, 8, 8)
+    np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
