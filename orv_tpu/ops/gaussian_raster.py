@@ -1,15 +1,19 @@
-"""Gaussian splat rasterizer — native C++ forward + numpy reference.
+"""Gaussian splat rasterizer — native C++ forward + backward + numpy ref.
 
 API mirrors the reference fork's surface
 (diff_gaussian_rasterization/__init__.py:184-236): a settings dataclass +
-`rasterize(...)` returning (color, feature, radii, depth, alpha). The
-reference's ORV data-factory path is forward-only (gs_render.py renders
-occupancy condition maps, gradients discarded), so no backward is provided;
-semantics notes:
+`rasterize(...)` returning (color, feature, radii, depth, alpha), and
+`rasterize_backward(...)` returning gradients w.r.t. every gaussian input
+(the reference fork's backward.cu capability — ORV's own data-factory path
+never uses it, gs_render.py discards gradients, but the component is part
+of the inventory). Semantics notes:
 
   * depth output is the alpha-weighted expected view-space depth
   * 12 semantic feature channels (reference config.h NUM_CHANNELS_language_feature)
   * EWA projection with the standard 0.3 low-pass and 3-sigma tile extent
+  * backward covers blend -> (conic, means2D) -> EWA -> cov3D ->
+    (quaternion, scale, means3D); discrete choices (radius, tile extent,
+    the 0.99 alpha clamp, culling) are non-differentiable as in the CUDA fork
 """
 
 from __future__ import annotations
@@ -89,6 +93,57 @@ def rasterize(
         cptr(radii),
     )
     return out_color, out_feature, radii, out_depth, out_alpha
+
+
+def rasterize_backward(
+    settings: GaussianRasterizationSettings,
+    means3d: np.ndarray,
+    colors: np.ndarray,
+    opacities: np.ndarray,
+    scales: np.ndarray,
+    rotations: np.ndarray,
+    grad_color: np.ndarray,  # [3, H, W]
+    grad_depth: Optional[np.ndarray] = None,  # [H, W]
+    grad_alpha: Optional[np.ndarray] = None,  # [H, W]
+    features: Optional[np.ndarray] = None,  # [N, 12]
+    grad_feature: Optional[np.ndarray] = None,  # [12, H, W]
+):
+    """-> dict of gradients {means3d [N,3], colors [N,3], features [N,12],
+    opacities [N], scales [N,3], rotations [N,4]}."""
+    n = means3d.shape[0]
+    H, W = settings.image_height, settings.image_width
+    f32 = lambda x: np.ascontiguousarray(x, dtype=np.float32)
+    means3d, colors = f32(means3d), f32(colors)
+    opacities = f32(opacities).reshape(-1)
+    scales, rotations = f32(scales), f32(rotations)
+    feats = f32(features) if features is not None else None
+    gfeat = f32(grad_feature) if grad_feature is not None else None
+    view = f32(settings.viewmatrix).reshape(16)
+    proj = f32(settings.projmatrix).reshape(16)
+    bg = f32(settings.bg).reshape(3)
+    gc = f32(grad_color)
+    gd = f32(grad_depth) if grad_depth is not None else np.zeros((H, W), np.float32)
+    ga = f32(grad_alpha) if grad_alpha is not None else np.zeros((H, W), np.float32)
+
+    g_means = np.zeros((n, 3), np.float32)
+    g_colors = np.zeros((n, 3), np.float32)
+    g_feats = np.zeros((n, NUM_FEATURE_CHANNELS), np.float32)
+    g_opac = np.zeros((n,), np.float32)
+    g_scales = np.zeros((n, 3), np.float32)
+    g_rots = np.zeros((n, 4), np.float32)
+
+    cptr = lambda a: a.ctypes.data_as(ctypes.c_void_p) if a is not None else None
+    _native().rasterize_gaussians_backward(
+        cptr(means3d), cptr(colors), cptr(feats), cptr(opacities), cptr(scales),
+        cptr(rotations), ctypes.c_int(n), cptr(view), cptr(proj), cptr(bg),
+        ctypes.c_float(settings.tanfovx), ctypes.c_float(settings.tanfovy),
+        ctypes.c_int(H), ctypes.c_int(W), ctypes.c_float(settings.scale_modifier),
+        cptr(gc), cptr(gfeat), cptr(gd), cptr(ga),
+        cptr(g_means), cptr(g_colors), cptr(g_feats), cptr(g_opac),
+        cptr(g_scales), cptr(g_rots),
+    )
+    return dict(means3d=g_means, colors=g_colors, features=g_feats,
+                opacities=g_opac, scales=g_scales, rotations=g_rots)
 
 
 # ---------------------------------------------------------------------------

@@ -133,3 +133,109 @@ def test_render_occupancy_view_api():
     assert m.any()
     d = out["render_depth"][m] / out["render_alpha"][m]
     assert abs(float(np.median(d)) - 0.3) < 0.1
+
+
+class TestRasterizerBackward:
+    """Analytic backward vs central finite differences on a tiny scene."""
+
+    def _scene(self):
+        rng = np.random.default_rng(7)
+        n = 6
+        means = np.stack([
+            rng.uniform(-0.06, 0.06, n), rng.uniform(-0.06, 0.06, n),
+            rng.uniform(0.28, 0.42, n),
+        ], 1).astype(np.float32)
+        colors = rng.uniform(0.1, 0.9, (n, 3)).astype(np.float32)
+        feats = rng.uniform(0, 1, (n, 12)).astype(np.float32)
+        opac = rng.uniform(0.3, 0.8, n).astype(np.float32)
+        scales = rng.uniform(0.01, 0.03, (n, 3)).astype(np.float32)
+        rots = rng.normal(size=(n, 4)).astype(np.float32)
+        rots /= np.linalg.norm(rots, axis=1, keepdims=True)
+        H, W = 24, 32
+        fx = fy = 40.0
+        from orv_tpu.ops.gaussian_raster import (
+            GaussianRasterizationSettings, focal2fov,
+            get_projection_matrix_from_intrinsics,
+        )
+        import math
+        w2c = np.eye(4)
+        proj = get_projection_matrix_from_intrinsics(fx, fy, W / 2, H / 2, W, H)
+        settings = GaussianRasterizationSettings(
+            image_height=H, image_width=W,
+            tanfovx=math.tan(focal2fov(fx, W) * 0.5),
+            tanfovy=math.tan(focal2fov(fy, H) * 0.5),
+            bg=np.array([0.2, 0.1, 0.3], np.float32), scale_modifier=1.0,
+            viewmatrix=w2c, projmatrix=proj @ w2c,
+        )
+        return settings, means, colors, opac, scales, rots, feats
+
+    def _loss_and_grads(self, settings, means, colors, opac, scales, rots, feats):
+        """Scalar loss = fixed random projections of all four outputs."""
+        from orv_tpu.ops.gaussian_raster import rasterize, rasterize_backward
+
+        rng = np.random.default_rng(11)
+        H, W = settings.image_height, settings.image_width
+        wc = rng.normal(size=(3, H, W)).astype(np.float32)
+        wf = rng.normal(size=(12, H, W)).astype(np.float32)
+        wd = rng.normal(size=(H, W)).astype(np.float32)
+        wa = rng.normal(size=(H, W)).astype(np.float32)
+
+        def loss(m=means, c=colors, o=opac, s=scales, r=rots, f=feats):
+            col, feat, _, dep, alp = rasterize(settings, m, c, o, s, r, f)
+            return float((col * wc).sum() + (feat * wf).sum()
+                         + (dep * wd).sum() + (alp * wa).sum())
+
+        grads = rasterize_backward(settings, means, colors, opac, scales, rots,
+                                   grad_color=wc, grad_depth=wd, grad_alpha=wa,
+                                   features=feats, grad_feature=wf)
+        return loss, grads
+
+    def _fd(self, loss, arr, eps):
+        num = np.zeros_like(arr, dtype=np.float64)
+        it = np.nditer(arr, flags=["multi_index"])
+        while not it.finished:
+            i = it.multi_index
+            orig = arr[i]
+            arr[i] = orig + eps
+            lp = loss()
+            arr[i] = orig - eps
+            lm = loss()
+            arr[i] = orig
+            num[i] = (lp - lm) / (2 * eps)
+            it.iternext()
+        return num
+
+    def _check(self, loss, analytic, arr, name, eps=2e-4, rtol=0.08):
+        """Central differences at two step sizes; elements where the two FD
+        estimates disagree sit on the rasterizer's discrete boundaries
+        (pixel rects, 1/255 alpha cutoff, T break — non-differentiable in
+        the CUDA fork too) and are excluded. The analytic gradient must
+        match the stable elements."""
+        num1 = self._fd(loss, arr, eps)
+        num2 = self._fd(loss, arr, 2 * eps)
+        scale = np.maximum(np.abs(num1), np.maximum(np.abs(num2), 1.0))
+        stable = np.abs(num1 - num2) < 0.03 * scale
+        assert stable.mean() >= 0.5, f"{name}: too few FD-stable elements"
+        err = np.abs(analytic - num1)
+        tol = rtol * scale + 0.05 * max(float(np.abs(num1).max()), 1.0)
+        bad = (err > tol) & stable
+        assert not bad.any(), (
+            f"{name}: analytic/numeric mismatch at {np.argwhere(bad)[:4]}: "
+            f"analytic {analytic[bad][:4]} vs numeric {num1[bad][:4]}"
+        )
+
+    def test_color_feature_opacity_grads(self):
+        settings, means, colors, opac, scales, rots, feats = self._scene()
+        loss, grads = self._loss_and_grads(settings, means, colors, opac, scales, rots, feats)
+        self._check(loss, grads["colors"], colors, "colors")
+        self._check(loss, grads["features"], feats, "features")
+        self._check(loss, grads["opacities"], opac, "opacities")
+
+    def test_geometry_grads(self):
+        settings, means, colors, opac, scales, rots, feats = self._scene()
+        loss, grads = self._loss_and_grads(settings, means, colors, opac, scales, rots, feats)
+        self._check(loss, grads["means3d"], means, "means3d", eps=5e-5)
+        # scales sit closest to the discrete ceil(3*sigma) radius — smaller
+        # step keeps more elements on the smooth side
+        self._check(loss, grads["scales"], scales, "scales", eps=2e-5)
+        self._check(loss, grads["rotations"], rots, "rotations", eps=5e-5)
