@@ -167,7 +167,7 @@ def _fwd_kernel_static_max(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr,
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _fwd_kernel_q8(q_ref, k_ref, v_ref, sk_ref, o_ref, lse_ref, acc_scr, q8_scr,
+def _fwd_kernel_q8(q_ref, k_ref, v_ref, sk_ref, o_ref, acc_scr, q8_scr,
                    sq_scr, *, kv_len, q_len, block_q, block_k, d_model, static_max):
     """int8-QK^T variant of the transposed static-max kernel.
 
@@ -226,7 +226,6 @@ def _fwd_kernel_q8(q_ref, k_ref, v_ref, sk_ref, o_ref, lse_ref, acc_scr, q8_scr,
         l = acc_scr[d_model:d_model + 1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_scr[:d_model] / l_safe).T.astype(o_ref.dtype)
-        lse_ref[0] = jnp.broadcast_to((static_max + jnp.log(l_safe)).T, lse_ref.shape[1:])
 
 
 def _fwd_q8(q, k, v, scale, block_q, block_k, static_max):
@@ -255,7 +254,10 @@ def _fwd_q8(q, k, v, scale, block_q, block_k, static_max):
                          axis=-1).swapaxes(1, 2)  # [bh, Dv, Skv]
 
     grid = (bh, Sq_pad // block_q, Skv_pad // block_k)
-    out, _ = pl.pallas_call(
+    # no lse output: inference-only kernel, nothing consumes it — at the
+    # flagship shape the broadcast [bh, Sq, 128] f32 buffer would cost
+    # 126MB of dead HBM writes per layer (3.8GB per step)
+    out = pl.pallas_call(
         functools.partial(
             _fwd_kernel_q8, kv_len=Skv, q_len=S, block_q=block_q,
             block_k=block_k, d_model=D, static_max=float(static_max),
@@ -267,14 +269,8 @@ def _fwd_q8(q, k, v, scale, block_q, block_k, static_max):
             pl.BlockSpec((1, Dv, block_k), lambda b, qi, ki: (b, 0, ki)),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sk [bh, nk] whole in SMEM
         ],
-        out_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, qi, ki: (b, qi, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, Sq_pad, D), q.dtype),
-            jax.ShapeDtypeStruct((bh, Sq_pad, LANES), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, Sq_pad, D), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((Dv, block_q), jnp.float32),
             pltpu.VMEM((D, block_q), jnp.int8),
