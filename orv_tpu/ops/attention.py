@@ -236,7 +236,10 @@ def _fwd_q8(q, k, v, scale, block_q, block_k, static_max):
     Sq_pad = pl.cdiv(S, block_q) * block_q
     Skv_pad = pl.cdiv(Skv, block_k) * block_k
     bh = B * H
-    Dv = max(_round_up(D + 1, LANES), LANES)
+    # Dv is the accumulator's SUBLANE dim, not lanes: bf16 tiling only
+    # needs %16. Rounding to 128 doubled the PV matmul's executed FLOPs
+    # (profiled: attention was 47% of the step, half of it zero rows).
+    Dv = max(_round_up(D + 1, 16), 16)
 
     k = k - k.mean(axis=2, keepdims=True)  # per-head token-mean smoothing
     qp = (jnp.pad(q, ((0, 0), (0, 0), (0, Sq_pad - S), (0, 0))) * jnp.asarray(scale, q.dtype)
@@ -314,7 +317,7 @@ def _fwd(q, k, v, scale, block_q, block_k, static_max=None):
     Sq_pad = pl.cdiv(S, block_q) * block_q
     Skv_pad = pl.cdiv(Skv, block_k) * block_k
     bh = B * H
-    Dv = max(_round_up(D + 1, LANES), LANES)  # v + ones row, lane-aligned
+    Dv = max(_round_up(D + 1, 16), 16)  # v + ones row; sublane dim, %16 (bf16 tile)
     # q and v enter the kernel pre-transposed ([D, S] / [Dv, S]) so both
     # kernel matmuls are plain A@B — Mosaic inserts per-tile relayouts for
     # transposed-operand dot_generals, which costs ~20% at these shapes.
