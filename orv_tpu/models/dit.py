@@ -109,7 +109,8 @@ class _BlockCell(nn.Module):
             hidden = MVBlock(
                 dim=c.inner_dim, heads=c.num_attention_heads, head_dim=c.attention_head_dim,
                 time_embed_dim=c.time_embed_dim, modulate_enc=c.modulate_encoder_hidden_states,
-                attention_bias=c.attention_bias, norm_eps=c.norm_eps, name="mv_block", **kw,
+                attention_bias=c.attention_bias, norm_eps=c.norm_eps,
+                quant=self.quant, name="mv_block", **kw,
             )(hidden, enc, temb, rope_view, self.n_view, self.n_frame)
         hidden, enc = DiTBlock(
             dim=c.inner_dim, heads=c.num_attention_heads, head_dim=c.attention_head_dim,

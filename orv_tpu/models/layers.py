@@ -419,6 +419,7 @@ class MVBlock(nn.Module):
     attention_bias: bool = False
     norm_eps: float = 1e-5
     attn_impl: str = "auto"
+    quant: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -428,7 +429,7 @@ class MVBlock(nn.Module):
         norm1 = AdaLNZero(self.time_embed_dim, self.dim, self.modulate_enc,
                           self.norm_eps, name="norm1", **kw)
         attn = JointAttention(self.heads, self.head_dim, True, self.attention_bias,
-                              True, self.attn_impl, name="attn1", **kw)
+                              True, self.attn_impl, quant=self.quant, name="attn1", **kw)
         # dead-but-checkpointed params
         self.param("cam_encoder_kernel", nn.initializers.zeros, (12, self.dim), self.param_dtype)
         self.param("cam_encoder_bias", nn.initializers.zeros, (self.dim,), self.param_dtype)

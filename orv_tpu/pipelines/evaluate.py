@@ -55,12 +55,21 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None):
     out_dir.mkdir(parents=True, exist_ok=True)
 
     dit_cfg = build_dit_config(cfg)
-    model = ControlDiT(dit_cfg, dtype=jnp.bfloat16)
+    # int8 serving configuration (evaluation.quant: true or --quant):
+    # W8A8 linears + int8-QK^T attention; params converted after load
+    quant = bool(ev.get("quant", False))
+    model = ControlDiT(dit_cfg, dtype=jnp.bfloat16,
+                       attn_impl="flash_q8" if quant else "auto", quant=quant)
 
     pretrained = cfg.transformer.get("pretrained_name_or_path")
     if pretrained and (Path(str(pretrained)) / "model.msgpack").exists():
         _, params = load_pretrained(str(pretrained), DiTConfig)
         CONSOLE.log(f"loaded transformer from {pretrained}")
+        if quant:
+            from orv_tpu.models.quantize import quantize_linear_params
+
+            params = quantize_linear_params(params)
+            CONSOLE.log("int8 serving: block linears quantized (W8A8)")
     else:
         CONSOLE.log("[yellow]no pretrained transformer — random init (smoke mode)")
         B0, F0 = 1, 2

@@ -79,3 +79,30 @@ def test_quantized_forward_close_to_fp(small_dit_inputs):
     o_q, _, _ = mq.apply(pq, x, enc, t, actions=acts, depths=d, labels=l)
     rel = float(jnp.max(jnp.abs(o_q - o_ref)) / jnp.max(jnp.abs(o_ref)))
     assert rel < 0.02, rel
+
+
+def test_multiview_quant_tree_matches():
+    """quantize_linear_params also covers MVBlock attention projections."""
+    cfg = DiTConfig(
+        num_attention_heads=4, attention_head_dim=16, num_layers=2,
+        in_channels=32, out_channels=16, text_embed_dim=32, time_embed_dim=64,
+        max_text_seq_length=8, sample_width=16, sample_height=8,
+        modulate_encoder_hidden_states=True, multiview=True,
+    )
+    m = ControlDiT(cfg, dtype=jnp.float32, attn_impl="xla")
+    mq = ControlDiT(cfg, dtype=jnp.float32, attn_impl="xla", quant=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 32, 8, 16))  # 2 views x 2 frames
+    enc = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    t = jnp.array([500], jnp.int32)
+    p = m.init(jax.random.PRNGKey(0), x, enc, t, num_views=2)
+    pq = quantize_linear_params(p)
+    expect = jax.eval_shape(lambda: mq.init(jax.random.PRNGKey(0), x, enc, t, num_views=2))
+    f_expect = set(flax.traverse_util.flatten_dict(expect))
+    f_got = set(flax.traverse_util.flatten_dict(pq))
+    assert f_expect == f_got
+    # mv attention projections quantized too
+    assert any("mv_block" in str(k) and k[-1] == "kernel_q8" for k in f_got)
+    o_ref, _, _ = m.apply(p, x, enc, t, num_views=2)
+    o_q, _, _ = mq.apply(pq, x, enc, t, num_views=2)
+    rel = float(jnp.max(jnp.abs(o_q - o_ref)) / jnp.max(jnp.abs(o_ref)))
+    assert rel < 0.02, rel
