@@ -210,3 +210,29 @@ def test_occupancy_selfhosted_e2e(tmp_path):
     step = make_train_step(model.apply, tx, make_schedule(), mesh=None)
     state, metrics = step(state, jb, jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_eval_quant_serving_smoke(pipeline_root, tmp_path):
+    """evaluation.quant=true builds the int8 W8A8 + int8-QK^T serving model
+    (random init here — the conversion path is unit-tested in
+    test_quantize) and the jitted sampler runs end to end."""
+    from orv_tpu.configs import default_config_dir, load_config
+    from orv_tpu.pipelines.evaluate import evaluate
+
+    overrides = [
+        f"dataset.data_root={pipeline_root}", "dataset.sequence_length=8",
+        "dataset.start_frame_interval=8", "dataset.split=train",
+        "transformer.num_attention_heads=2", "transformer.attention_head_dim=8",
+        "transformer.num_layers=1", "transformer.text_embed_dim=32",
+        "transformer.time_embed_dim=32", "transformer.max_text_seq_length=8",
+        "transformer.pretrained_name_or_path=null",
+        "evaluation.num_inference_steps=2", "evaluation.batch_size=2",
+        "evaluation.quant=true",
+        f"evaluation.output_dir={tmp_path}/eval_q8",
+    ]
+    cfg = load_config(str(default_config_dir() / "base_eval.yaml"),
+                      dataset_type="rt1", overrides=overrides)
+    results = evaluate(cfg, max_batches=1)
+    assert len(results) == 2
+    lat = np.load(sorted((tmp_path / "eval_q8").glob("*_latents.npz"))[0])["arr_0"]
+    assert np.isfinite(lat).all()
