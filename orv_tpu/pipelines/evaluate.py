@@ -49,7 +49,38 @@ def to_uint8(video: np.ndarray) -> np.ndarray:
     return (v * 255).round().astype(np.uint8)
 
 
-def evaluate(cfg: Config, max_batches: Optional[int] = None):
+def _encode_raw(batch: Dict[str, Any], vae, vae_params, dit_cfg) -> Dict[str, Any]:
+    """`load_tensors: false` items carry raw pixels (videos/image, raw cond
+    maps) — VAE-encode them into the moments the sampler path expects
+    (the reference's cascaded eval config runs exactly this way,
+    eval_traj_image_2b_finetune_cascaded.yaml + dataset.py:655-925)."""
+    if "latents" in batch:
+        return batch
+    if vae is None or vae_params is None:
+        raise ValueError(
+            "dataset.load_tensors=false needs a VAE to encode raw frames — "
+            "pass vae.pretrained_name_or_path"
+        )
+    enc = lambda x: np.asarray(vae.apply(vae_params, jnp.asarray(x), method=vae.encode))
+    batch = dict(batch)
+    batch["latents"] = enc(np.asarray(batch["videos"]).transpose(0, 2, 1, 3, 4))
+    batch["image_latents"] = enc(np.asarray(batch["image"]).transpose(0, 2, 1, 3, 4))
+    if batch.get("depths") is not None:
+        d = np.repeat(np.asarray(batch["depths"]), 3, axis=2)  # [B,F,3,H,W]
+        batch["latents_depth"] = enc(d.transpose(0, 2, 1, 3, 4))
+    if batch.get("labels") is not None:
+        batch["latents_label"] = enc(np.asarray(batch["labels"]).transpose(0, 2, 1, 3, 4))
+    if batch.get("prompt_embeds") is None:
+        B = batch["latents"].shape[0]
+        batch["prompt_embeds"] = np.zeros(
+            (B, dit_cfg.max_text_seq_length, dit_cfg.text_embed_dim), np.float32)
+    return batch
+
+
+def evaluate(cfg: Config, max_batches: Optional[int] = None,
+             vae: Optional[CausalVAE] = None, vae_params=None):
+    """`vae`/`vae_params` may be passed directly (library embedding, tests);
+    otherwise they load from cfg.vae.pretrained_name_or_path."""
     ev = cfg.evaluation
     out_dir = Path(ev.get("output_dir", "eval_outputs"))
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -85,8 +116,7 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None):
         )
 
     vae_path = cfg.get("vae", {}).get("pretrained_name_or_path")
-    vae = vae_params = None
-    if vae_path and Path(str(vae_path)).exists():
+    if vae is None and vae_path and Path(str(vae_path)).exists():
         from orv_tpu.models.weights import convert_vae_state_dict, load_torch_state_dict
 
         vae = CausalVAE(VAEConfig(), dtype=jnp.bfloat16)
@@ -127,6 +157,7 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None):
     for bi in range(0, len(indices), bs):
         idxs = indices[bi : bi + bs]
         batch = collate_control([dataset[i] for i in idxs])
+        batch = _encode_raw(batch, vae, vae_params, dit_cfg)
         rng, r_img, r_ctrl, r_noise, r_samp = jax.random.split(rng, 5)
 
         lat_moments = jnp.asarray(batch["latents"])
@@ -209,6 +240,10 @@ def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
         for si, idx in chunk_list:
             item = dataset[idx]
             sample = dataset.samples[idx]
+            item = {k: (v[None] if isinstance(v, np.ndarray) else v)
+                    for k, v in item.items()}
+            item = {k: (v[0] if isinstance(v, np.ndarray) else v)
+                    for k, v in _encode_raw(item, vae, vae_params, dit_cfg).items()}
             r_ep, r_img, r_noise, r_samp = jax.random.split(r_ep, 4)
             lat_m = jnp.asarray(item["latents"])[None]
             F_lat, H, W = lat_m.shape[2], lat_m.shape[3], lat_m.shape[4]

@@ -236,3 +236,42 @@ def test_eval_quant_serving_smoke(pipeline_root, tmp_path):
     assert len(results) == 2
     lat = np.load(sorted((tmp_path / "eval_q8").glob("*_latents.npz"))[0])["arr_0"]
     assert np.isfinite(lat).all()
+
+
+def test_cascaded_eval_from_raw_pixels(pipeline_root, tmp_path):
+    """The reference's eval_traj_image_2b_finetune_cascaded.yaml runs with
+    load_tensors: false — mp4 frames decode via the raw dataset path, are
+    VAE-encoded on the fly, and chunks chain through the cascade."""
+    from orv_tpu.configs import default_config_dir, load_config
+    from orv_tpu.models.vae import CausalVAE, VAEConfig
+    from orv_tpu.pipelines.evaluate import evaluate
+
+    tiny_vae = VAEConfig(block_out_channels=(8, 16, 16, 32), layers_per_block=1,
+                         norm_num_groups=4, latent_channels=16)
+    vae = CausalVAE(tiny_vae, dtype=jnp.float32)
+    vparams = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, 32, 32)))
+
+    overrides = [
+        f"dataset.data_root={pipeline_root}", "dataset.sequence_length=8",
+        "dataset.start_frame_interval=8", "dataset.split=train",
+        "dataset.load_tensors=false",
+        "dataset.video_size=[32, 32]", "dataset.ori_size=[32, 32]",
+        "transformer.num_attention_heads=2", "transformer.attention_head_dim=8",
+        "transformer.num_layers=1", "transformer.text_embed_dim=32",
+        "transformer.time_embed_dim=32", "transformer.max_text_seq_length=8",
+        "transformer.pretrained_name_or_path=null",
+        "evaluation.num_inference_steps=2", "evaluation.batch_size=1",
+        "evaluation.cascaded=true",
+        f"evaluation.output_dir={tmp_path}/eval_raw_casc",
+    ]
+    cfg = load_config(str(default_config_dir() / "base_eval.yaml"),
+                      dataset_type="rt1", overrides=overrides)
+    results = evaluate(cfg, vae=vae, vae_params=vparams)
+    assert len(results) == 2  # both episodes rolled out
+    out = sorted((tmp_path / "eval_raw_casc").glob("*_cascaded_latents.npz"))
+    assert len(out) == 2
+    stitched = np.load(out[0])["arr_0"]
+    assert np.isfinite(stitched).all()
+    assert stitched.shape[0] >= 2 * 3  # >=2 chained chunks of 3 latent frames
+    # with a VAE present the stitched mp4 exports too
+    assert len(list((tmp_path / "eval_raw_casc").glob("*_cascaded.mp4"))) == 2
