@@ -138,7 +138,8 @@ def _bench_train():
         use_rotary_positional_embeddings=True,
         modulate_encoder_hidden_states=False, recon_action=True,
     )
-    model = ControlDiT(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, remat=True)
+    model = ControlDiT(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, remat=True,
+                       remat_policy="dots")  # saves matmul outputs: 461->442ms, fits HBM
     B, F, C, H, W = 1, 5, 16, 40, 60  # 17 frames @ 320x480 latent
     key = jax.random.PRNGKey
     batch = {

@@ -131,6 +131,11 @@ class ControlDiT(nn.Module):
     # orv_tpu.models.quantize.quantize_linear_params. Inference-only.
     quant: bool = False
     remat: bool = False
+    # nn.remat policy: None recomputes everything in the block (min memory);
+    # "dots" saves matmul outputs and recomputes only elementwise/norm work
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) — faster
+    # backward when HBM allows
+    remat_policy: Optional[str] = None
     # sequence-parallel: a jax.sharding.Mesh with an `sp` axis routes every
     # block's joint attention through ring attention (video tokens sharded,
     # text replicated); all other ops are token-elementwise so XLA keeps
@@ -253,7 +258,10 @@ class ControlDiT(nn.Module):
         # 5. block stack (scanned; optional per-block remat)
         cell = _BlockCell
         if self.remat:
-            cell = nn.remat(cell, prevent_cse=False)
+            policy = None
+            if self.remat_policy == "dots":
+                policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+            cell = nn.remat(cell, prevent_cse=False, policy=policy)
         stack = nn.scan(
             cell,
             variable_axes={"params": 0},

@@ -262,7 +262,8 @@ def train(cfg: Config):
     dit_cfg = build_dit_config(cfg)
     dtype = jnp.bfloat16 if tcfg.get("mixed_precision", "bf16") == "bf16" else jnp.float32
     model = ControlDiT(dit_cfg, dtype=dtype,
-                       remat=bool(tcfg.get("gradient_checkpointing", False)))
+                       remat=bool(tcfg.get("gradient_checkpointing", False)),
+                       remat_policy=tcfg.get("remat_policy"))
 
     dataset = build_dataset(cfg, split="train")
     sampler = BucketSampler(dataset, batch_size=int(tcfg.get("train_batch_size", 4)),

@@ -151,3 +151,37 @@ def test_grad_flows():
         lambda a, b: a + jnp.sum(b.astype(jnp.float32) ** 2), g, 0.0
     )
     assert bool(jnp.isfinite(gnorm)) and float(gnorm) > 0
+
+
+def test_remat_dots_policy_forward_matches():
+    """remat_policy='dots' must be numerically identical to plain remat."""
+    import jax
+    import jax.numpy as jnp
+
+    from orv_tpu.models import ControlDiT, DiTConfig
+
+    cfg = DiTConfig(
+        num_attention_heads=2, attention_head_dim=16, num_layers=2,
+        in_channels=16, out_channels=16, text_embed_dim=32, time_embed_dim=64,
+        max_text_seq_length=8, sample_width=16, sample_height=8,
+        modulate_encoder_hidden_states=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 16, 8, 16))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    t = jnp.array([100], jnp.int32)
+    m0 = ControlDiT(cfg, dtype=jnp.float32, attn_impl="xla", remat=True)
+    m1 = ControlDiT(cfg, dtype=jnp.float32, attn_impl="xla", remat=True,
+                    remat_policy="dots")
+    p = m0.init(jax.random.PRNGKey(0), x, enc, t)
+
+    def loss(m, p):
+        out, _, _ = m.apply(p, x, enc, t)
+        return (out ** 2).mean()
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m0, p))(p)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m1, p))(p)
+    assert abs(float(l0) - float(l1)) < 1e-6
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        assert float(jnp.max(jnp.abs(a - b))) < 1e-5
