@@ -106,15 +106,17 @@ def _bench_vae():
     z = jax.random.normal(jax.random.PRNGKey(5), (1, 16, LATENT_F, LATENT_H, LATENT_W))
     vparams = jax.jit(lambda: vae.init(jax.random.PRNGKey(0), z[:, :, :1, :8, :8],
                                        method=vae.decode))()
-    print("bench: compiling chunked VAE decode...", file=sys.stderr, flush=True)
-    jax.block_until_ready(decode_chunked(vae, vparams, z, chunk_latent_frames=6))
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+    print(f"bench: compiling chunked VAE decode (chunk {chunk})...",
+          file=sys.stderr, flush=True)
+    jax.block_until_ready(decode_chunked(vae, vparams, z, chunk_latent_frames=chunk))
     vae_time = float("inf")
-    for i in range(2):
+    for i in range(4):
         zz = z * (1.0 + (i + 1) * 1e-6)  # vary inputs: the tunnel dedups
         t0 = time.time()
-        jax.block_until_ready(decode_chunked(vae, vparams, zz, chunk_latent_frames=6))
+        out = decode_chunked(vae, vparams, zz, chunk_latent_frames=chunk)
+        float(out.sum())  # force materialization
         vae_time = min(vae_time, time.time() - t0)
-
     return vae_time
 
 
@@ -181,14 +183,15 @@ def _bench_train():
     return best
 
 
-def _run_phase_subprocess(phase: str) -> float:
+def _run_phase_subprocess(phase: str, extra=()) -> float:
     """Each phase runs in its own process: the tunneled TPU backend does not
     reliably return HBM freed mid-process, so phase isolation keeps the VAE
-    phase from inheriting the DiT's reservation."""
+    phase from inheriting the DiT's reservation (and lets OOM fallbacks
+    start from a clean allocator)."""
     import subprocess
 
     out = subprocess.run(
-        [sys.executable, __file__, "--phase", phase],
+        [sys.executable, __file__, "--phase", phase, *map(str, extra)],
         capture_output=True, text=True,
     )
     if out.returncode != 0:
@@ -204,17 +207,24 @@ def main():
         print(fn())
         return
 
-    def retry(phase, n=2):
+    def retry(phase, n=3, attempts_extra=None):
         last = None
-        for _ in range(n):
+        for attempt in range(n):
             try:
-                return _run_phase_subprocess(phase)
+                extra = () if attempts_extra is None else attempts_extra[
+                    min(attempt, len(attempts_extra) - 1)]
+                return _run_phase_subprocess(phase, extra)
             except Exception as e:  # noqa: BLE001
                 last = e
+                if attempt + 1 < n:
+                    time.sleep(60)  # contended/held-HBM windows usually pass
         raise last
 
     sampler_s = retry("sampler")
-    vae_time = retry("vae")
+    # decode chunk 6 is fastest but needs ~10GB HBM; when another tenant
+    # holds memory, fall back to smaller chunks in FRESH subprocesses
+    # (freed HBM does not return mid-process on this backend)
+    vae_time = retry("vae", n=4, attempts_extra=[(6,), (6,), (4,), (2,)])
     try:
         train_s = retry("train")
     except Exception:  # noqa: BLE001 — train phase is informational
