@@ -266,9 +266,22 @@ def train(cfg: Config):
                        remat_policy=tcfg.get("remat_policy"))
 
     dataset = build_dataset(cfg, split="train")
-    sampler = BucketSampler(dataset, batch_size=int(tcfg.get("train_batch_size", 4)),
-                            seed=seed, infinite=True)
-    batches = prefetch_batches(dataset, sampler)
+    bs = int(tcfg.get("train_batch_size", 4))
+    if tcfg.get("loader") == "grain":
+        # grain pipeline (north-star BASELINE.json): process-sharded index
+        # sampling + worker-process decode. Only for fixed-(ref_num, n_view)
+        # configs — bucketed multi-ref/multiview needs BucketSampler.
+        if cfg.get("multiview") or len(dataset.config.ref_num_choices()) > 1:
+            raise ValueError("train.loader=grain supports fixed (ref_num, "
+                             "n_view) configs; bucketed runs use the default loader")
+        from orv_tpu.data.grain_loader import make_grain_loader
+
+        batches = make_grain_loader(
+            dataset, bs, seed=seed,
+            worker_count=int(tcfg.get("loader_workers", 0)))
+    else:
+        sampler = BucketSampler(dataset, batch_size=bs, seed=seed, infinite=True)
+        batches = prefetch_batches(dataset, sampler)
     first = next(batches)
 
     params = init_params(model, dit_cfg, cfg, first)
