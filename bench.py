@@ -109,21 +109,24 @@ def _bench_vae():
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 6
     print(f"bench: compiling chunked VAE decode (chunk {chunk})...",
           file=sys.stderr, flush=True)
-    jax.block_until_ready(decode_chunked(vae, vparams, z, chunk_latent_frames=chunk))
+    # NOT fused: the single-dispatch variant compiles at 15.9G of 15.75G
+    # HBM and the runtime thrashes (340s observed) — see vae.decode_chunked
+    run = lambda x: decode_chunked(vae, vparams, x, chunk_latent_frames=chunk)
+    jax.block_until_ready(run(z))
     # time-budgeted min-of-N: co-tenant kernels time-slice against the big
     # convs, so individual trials swing 1.7s..25s — keep trialing until a
     # quiet window lands or the budget runs out
     vae_time = float("inf")
-    deadline = time.time() + 180.0
+    deadline = time.time() + 150.0
     i = 0
     while True:
         i += 1
         zz = z * (1.0 + i * 1e-6)  # vary inputs: the tunnel dedups
         t0 = time.time()
-        out = decode_chunked(vae, vparams, zz, chunk_latent_frames=chunk)
+        out = run(zz)
         float(out.sum())  # force materialization
         vae_time = min(vae_time, time.time() - t0)
-        if (i >= 4 and vae_time < 4.0) or time.time() > deadline:
+        if (i >= 3 and vae_time < 4.0) or time.time() > deadline:
             return vae_time
 
 
@@ -243,7 +246,9 @@ def main():
     # decode chunk 6 is fastest but needs ~10GB HBM; when another tenant
     # holds memory, fall back to smaller chunks in FRESH subprocesses
     # (freed HBM does not return mid-process on this backend)
-    vae_time = retry("vae", n=5, attempts_extra=[(6,), (6,), (4,), (6,), (2,)],
+    # chunk 4 peaks ~7GB HBM (vs ~10 for chunk 6) — resilient to the
+    # co-tenant's typical memory holds at a ~10% quiet-time cost
+    vae_time = retry("vae", n=5, attempts_extra=[(6,), (4,), (4,), (6,), (2,)],
                      sane=4.0)
     try:
         train_s = retry("train", sane=1.0)

@@ -507,11 +507,22 @@ def encode_chunked(vae: "CausalVAE", params, video, chunk_frames: int = 8):
     return jnp.concatenate(outs, axis=2)
 
 
-def decode_chunked(vae: "CausalVAE", params, latents, chunk_latent_frames: int = 2):
+def decode_chunked(vae: "CausalVAE", params, latents, chunk_latent_frames: int = 2,
+                   fused: bool = False):
     """Frame-chunked streaming decode (latents [B,C,T',H,W], T' odd):
     chunks [1, k, k, ...] latent frames with conv caches; the first chunk
     carries the single leading frame so temporal upsampling matches the
-    full-clip layout."""
+    full-clip layout.
+
+    `fused=True` traces ALL chunks into one jitted program (one device
+    dispatch for the whole decode, chunk lifetimes serialized with
+    optimization_barrier). CAUTION measured on v5e-1 at the flagship
+    49x320x480 shape: the fused program compiles right at the HBM limit
+    (15.9G of 15.75G) and the runtime thrashes — use it only when the
+    working set leaves headroom (smaller resolutions / bigger chips)."""
+    if fused:
+        return _decode_chunked_fused(vae, chunk_latent_frames, latents.shape)(
+            params, latents)
     T = latents.shape[2]
     bounds = [(0, 1)] + [(i, min(i + chunk_latent_frames, T))
                          for i in range(1, T, chunk_latent_frames)]
@@ -526,3 +537,38 @@ def decode_chunked(vae: "CausalVAE", params, latents, chunk_latent_frames: int =
         cache = mut["cache"]
         outs.append(out)
     return jnp.concatenate(outs, axis=2)
+
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=8)
+def _decode_chunked_fused(vae: "CausalVAE", chunk_latent_frames: int, shape):
+    """Build (and cache) the single-dispatch chunked decode for a latent
+    shape: the chunk loop unrolls at trace time, conv caches thread
+    functionally between chunks inside one jit."""
+    import jax as _jax
+
+    T = shape[2]
+    bounds = [(0, 1)] + [(i, min(i + chunk_latent_frames, T))
+                         for i in range(1, T, chunk_latent_frames)]
+
+    @_jax.jit
+    def run(params, latents):
+        cache = {}
+        outs = []
+        for ci, (s, e) in enumerate(bounds):
+            variables = {"params": params["params"],
+                         **({"cache": cache} if cache else {})}
+            out, mut = vae.apply(
+                variables, latents[:, :, s:e], first_chunk=(ci == 0),
+                method=vae.decode, mutable=["cache"],
+            )
+            # barrier: without it XLA overlaps chunk lifetimes and the
+            # fused program's peak HBM exceeds the chip (16.8G > 15.75G);
+            # serialized, each chunk's intermediates free before the next
+            out, cache = _jax.lax.optimization_barrier((out, mut["cache"]))
+            outs.append(out)
+        return jnp.concatenate(outs, axis=2)
+
+    return run

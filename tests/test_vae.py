@@ -133,3 +133,20 @@ def test_conv_cache_exactness():
         outs.append(out)
     chunked = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(chunked), np.asarray(full), atol=1e-5)
+
+
+def test_decode_chunked_fused_matches_streaming():
+    """Single-dispatch fused decode == chunk-at-a-time streaming decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from orv_tpu.models.vae import CausalVAE, VAEConfig, decode_chunked
+
+    cfg = VAEConfig(block_out_channels=(8, 16, 16, 32), layers_per_block=1,
+                    norm_num_groups=4, latent_channels=16)
+    vae = CausalVAE(cfg, dtype=jnp.float32)
+    z = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 5, 6, 8))
+    p = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, 32, 32)))
+    a = decode_chunked(vae, p, z, chunk_latent_frames=2)
+    b = decode_chunked(vae, p, z, chunk_latent_frames=2, fused=True)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-5
