@@ -107,11 +107,21 @@ def _bench_vae():
     vparams = jax.jit(lambda: vae.init(jax.random.PRNGKey(0), z[:, :, :1, :8, :8],
                                        method=vae.decode))()
     chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 6
-    print(f"bench: compiling chunked VAE decode (chunk {chunk})...",
-          file=sys.stderr, flush=True)
-    # NOT fused: the single-dispatch variant compiles at 15.9G of 15.75G
-    # HBM and the runtime thrashes (340s observed) — see vae.decode_chunked
-    run = lambda x: decode_chunked(vae, vparams, x, chunk_latent_frames=chunk)
+    if chunk == 0:
+        # last-resort rung: spatially tiled decode (~2GB peak — ~4x less
+        # than chunk 4) for windows where the co-tenant's HBM hold makes
+        # every frame-chunked variant crawl. ~2x slower on a quiet chip.
+        from orv_tpu.models.vae import tiled_decode
+
+        print("bench: compiling tiled VAE decode...", file=sys.stderr, flush=True)
+        decode_fn = jax.jit(lambda zt: vae.apply(vparams, zt, method=vae.decode))
+        run = lambda x: tiled_decode(decode_fn, x, tile_latent_h=24, tile_latent_w=32)
+    else:
+        print(f"bench: compiling chunked VAE decode (chunk {chunk})...",
+              file=sys.stderr, flush=True)
+        # NOT fused: the single-dispatch variant compiles at 15.9G of 15.75G
+        # HBM and the runtime thrashes (340s observed) — see vae.decode_chunked
+        run = lambda x: decode_chunked(vae, vparams, x, chunk_latent_frames=chunk)
     jax.block_until_ready(run(z))
     # time-budgeted min-of-N: co-tenant kernels time-slice against the big
     # convs, so individual trials swing 1.7s..25s — keep trialing until a
@@ -247,8 +257,10 @@ def main():
     # holds memory, fall back to smaller chunks in FRESH subprocesses
     # (freed HBM does not return mid-process on this backend)
     # chunk 4 peaks ~7GB HBM (vs ~10 for chunk 6) — resilient to the
-    # co-tenant's typical memory holds at a ~10% quiet-time cost
-    vae_time = retry("vae", n=5, attempts_extra=[(6,), (4,), (4,), (6,), (2,)],
+    # co-tenant's typical memory holds at a ~10% quiet-time cost; chunk 0
+    # = spatially tiled decode (~2GB peak), the last-resort rung
+    vae_time = retry("vae", n=6,
+                     attempts_extra=[(6,), (4,), (4,), (6,), (2,), (0,)],
                      sane=4.0)
     try:
         train_s = retry("train", sane=1.0)
