@@ -212,7 +212,41 @@ def convert_dit_state_dict(
             "kernel": _t(sd["initial_combine_linear.weight"]),
             "bias": np.asarray(sd["initial_combine_linear.bias"]),
         }
-    return {"params": p}
+    return ensure_mv_blocks({"params": p}, config)
+
+
+def ensure_mv_blocks(params: Dict[str, Any], config: DiTConfig) -> Dict[str, Any]:
+    """Stage-3 initialization surgery: fine-tuning a non-multiview (stage-1/2)
+    checkpoint into the multiview stage copies the main 3D blocks' attention
+    and norm weights into the fresh mv_blocks, exactly like the reference
+    `from_pretrained` (cogvideox_control.py:1043-1050). The gated `proj_out`
+    and the dead `cam_encoder` start at zero, so the new cross-view path is
+    an identity at step 0. No-op when the tree already has mv_blocks or the
+    config is not multiview."""
+    if not config.multiview:
+        return params
+    p = params.get("params", params)
+    blocks = p.get("blocks")
+    if blocks is None or "block" not in blocks or "mv_block" in blocks:
+        return params
+    import copy
+
+    blk = blocks["block"]
+    norm1 = copy.deepcopy(blk["norm1"])
+    attn1 = copy.deepcopy(blk["attn1"])
+    # leading axis = stacked layer count (scan convention)
+    L = np.asarray(attn1["to_q"]["kernel"]).shape[0]
+    D = config.inner_dim
+    dt = np.asarray(attn1["to_q"]["kernel"]).dtype
+    blocks["mv_block"] = {
+        "norm1": norm1,
+        "attn1": attn1,
+        "proj_out": {"kernel": np.zeros((L, D, D), dt),
+                     "bias": np.zeros((L, D), dt)},
+        "cam_encoder_kernel": np.zeros((L, 12, D), dt),
+        "cam_encoder_bias": np.zeros((L, D), dt),
+    }
+    return params
 
 
 # ---------------------------------------------------------------------------

@@ -35,13 +35,28 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
 
     if jax.process_count() > 1:
         return
-    try:
-        if coordinator_address:
+    if coordinator_address:
+        # explicit multi-host request: a failure here MUST surface — every
+        # process silently proceeding with process_count()==1 makes
+        # work-list sharding duplicate all work per host (or corrupt it)
+        try:
             jax.distributed.initialize(coordinator_address, num_processes, process_id)
-        else:
-            jax.distributed.initialize()  # TPU auto-bootstrap
-    except Exception:
-        pass  # single-process / unsupported platform
+        except Exception as e:
+            raise RuntimeError(
+                f"distributed bring-up failed (coordinator "
+                f"{coordinator_address!r}, num_processes={num_processes}, "
+                f"process_id={process_id}): {e}"
+            ) from e
+        return
+    try:
+        jax.distributed.initialize()  # TPU auto-bootstrap
+    except Exception as e:
+        # benign on single-process / CPU runs, but never silent
+        import warnings
+
+        warnings.warn(f"jax.distributed auto-bootstrap unavailable "
+                      f"({type(e).__name__}: {e}) — single-process run",
+                      stacklevel=2)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -85,7 +85,20 @@ def encode_split(
     if max_samples:
         work = work[:max_samples]
 
-    encode = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
+    encode_short = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
+    chunk_frames = int(d.get("encode_chunk_frames", 8))
+
+    def encode(p, x):
+        # streaming encode for long clips (reference frame-batches
+        # vae._encode, encode_dataset.py:793-927): full-clip 49x320x480
+        # encoder activations exceed one v5e's 16GB HBM, so clips beyond
+        # chunk_frames+1 run the conv-cached chunked path
+        if x.shape[2] > chunk_frames + 1:
+            from orv_tpu.models.vae import encode_chunked
+
+            return encode_chunked(vae, p, x, chunk_frames=chunk_frames)
+        return encode_short(p, x)
+
     H, W = ds_cfg.video_size
     done = skipped = 0
     for sample in work:
@@ -112,9 +125,14 @@ def encode_split(
             np.savez(lat_path, moments)
             for r in ref_nums:
                 # reference observations = the first r raw frames (dataset.py
-                # :609-633 num_observation); r>1 files carry a _ref{r} suffix
+                # :609-633 num_observation); r>1 files carry a _ref{r} suffix.
+                # View 0 keeps the historical no-view name (what the
+                # single-view loader reads); other views get the view suffix
+                # so multiview episodes don't silently overwrite each other.
+                ref_name = (ds._sample_name(sample) if view == 0
+                            else ds._sample_name(sample, view=view))
                 rp = img_path if r <= 1 else (
-                    out_root / "image_latents" / f"{ds._sample_name(sample)}_ref{r}.npz")
+                    out_root / "image_latents" / f"{ref_name}_ref{r}.npz")
                 ref = jnp.asarray(frames[:r].transpose(3, 0, 1, 2))[None]
                 np.savez(rp, np.asarray(encode(vae_params, ref)[0], dtype=np.float32))
             if encode_conds:

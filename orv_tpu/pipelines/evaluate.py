@@ -61,7 +61,19 @@ def _encode_raw(batch: Dict[str, Any], vae, vae_params, dit_cfg) -> Dict[str, An
             "dataset.load_tensors=false needs a VAE to encode raw frames — "
             "pass vae.pretrained_name_or_path"
         )
-    enc = lambda x: np.asarray(vae.apply(vae_params, jnp.asarray(x), method=vae.encode))
+
+    def enc(x, chunk_frames: int = 8):
+        # flagship 49x320x480 clips exceed HBM in one encoder pass — stream
+        # long clips through the conv-cached chunked encode (the reference
+        # frame-batches vae._encode, encode_dataset.py:793-927)
+        x = jnp.asarray(x)
+        if x.shape[2] > chunk_frames + 1:
+            from orv_tpu.models.vae import encode_chunked
+
+            return np.asarray(encode_chunked(vae, vae_params, x,
+                                             chunk_frames=chunk_frames))
+        return np.asarray(vae.apply(vae_params, x, method=vae.encode))
+
     batch = dict(batch)
     batch["latents"] = enc(np.asarray(batch["videos"]).transpose(0, 2, 1, 3, 4))
     batch["image_latents"] = enc(np.asarray(batch["image"]).transpose(0, 2, 1, 3, 4))
@@ -72,6 +84,13 @@ def _encode_raw(batch: Dict[str, Any], vae, vae_params, dit_cfg) -> Dict[str, An
         batch["latents_label"] = enc(np.asarray(batch["labels"]).transpose(0, 2, 1, 3, 4))
     if batch.get("prompt_embeds") is None:
         B = batch["latents"].shape[0]
+        # the reference conditions on a real (empty-prompt) T5 embedding; a
+        # zero fill silently degrades real runs, so make it loud
+        CONSOLE.log(
+            "[yellow]raw-pixel batch has no prompt_embeds — substituting "
+            "ZEROS. Real runs should point dataset.embeddings_folder at an "
+            "encode_dataset output (prompt_embeds/empty.npz)."
+        )
         batch["prompt_embeds"] = np.zeros(
             (B, dit_cfg.max_text_seq_length, dit_cfg.text_embed_dim), np.float32)
     return batch
@@ -94,7 +113,10 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
 
     pretrained = cfg.transformer.get("pretrained_name_or_path")
     if pretrained and (Path(str(pretrained)) / "model.msgpack").exists():
+        from orv_tpu.models.weights import ensure_mv_blocks
+
         _, params = load_pretrained(str(pretrained), DiTConfig)
+        params = ensure_mv_blocks(params, dit_cfg)
         CONSOLE.log(f"loaded transformer from {pretrained}")
         if quant:
             from orv_tpu.models.quantize import quantize_linear_params
@@ -328,6 +350,11 @@ def main(argv=None):
             if cand.exists():
                 exp = str(cand)
                 break
+        else:
+            raise SystemExit(
+                f"no eval/experiment config named {exp!r} — looked for "
+                f"{default_config_dir()}/{{eval,experiments}}/{exp}.yaml"
+            )
     cfg = load_config(args.base, exp, args.dataset_type, None, args.overrides)
     return evaluate(cfg, max_batches=args.max_batches)
 

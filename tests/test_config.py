@@ -92,3 +92,24 @@ def test_all_eval_recipes_load_and_build():
                        dataset_type="bridgev2")
     assert casc.evaluation.cascaded is True
     assert casc.dataset.load_tensors is False  # raw-frame path configuration
+
+
+def test_build_dit_config_field_driven():
+    """build_dit_config is derived from dataclasses.fields(DiTConfig): every
+    transformer-yaml model key must land on the model config (VERDICT r2 #4:
+    joint_final_norm was silently dropped for the 5b family) and unknown
+    keys must raise instead of silently disappearing."""
+    from orv_tpu.pipelines.train import build_dit_config
+
+    cfg = load_config(
+        str(CFG_DIR / "base_train.yaml"),
+        experiment_yaml=str(CFG_DIR / "experiments" / "traj_image_5b_finetune.yaml"),
+        dataset_type="rt1",
+    )
+    dit = build_dit_config(cfg)
+    assert dit.joint_final_norm is True  # 5b family norms [text|video] jointly
+
+    bad = load_config(str(CFG_DIR / "base_train.yaml"), dataset_type="rt1",
+                      overrides=["transformer.not_a_model_field=3"])
+    with pytest.raises(ValueError, match="not_a_model_field"):
+        build_dit_config(bad)

@@ -219,3 +219,85 @@ def test_export_load_pretrained(tmp_path):
     np.testing.assert_array_equal(
         loaded["params"]["layer"]["kernel"], params["params"]["layer"]["kernel"]
     )
+
+
+def test_mv_blocks_initialization_surgery(tmp_path):
+    """Stage-3 recipe (VERDICT r2 #2): loading a stage-1/2 (non-multiview)
+    export into a multiview: true model must copy the main blocks' attn/norm
+    into fresh mv_blocks with a zero proj_out (reference
+    cogvideox_control.py:1043-1050), and a frozen-except-mv train step must
+    run and leave the main blocks untouched."""
+    from orv_tpu.models.weights import ensure_mv_blocks
+    from orv_tpu.parallel import (
+        TrainState, make_lr_schedule, make_optimizer, make_train_step,
+    )
+    from orv_tpu.schedulers import make_schedule
+
+    # stage-2 model: same dims, no multiview
+    base_cfg = dataclasses.replace(CFG, multiview=False)
+    model2 = ControlDiT(base_cfg, dtype=jnp.float32)
+    B, F, H, W = 1, 3, 8, 8
+    x = jnp.zeros((B, F, 32, H, W))
+    enc = jnp.zeros((B, 4, 16))
+    acts = jnp.zeros((B, 8, 7))
+    p2 = model2.init(
+        {"params": jax.random.PRNGKey(0), "action_mask": jax.random.PRNGKey(1)},
+        x, enc, jnp.zeros((B,), jnp.int32), actions=acts, depths=x, labels=x,
+        deterministic=False,
+    )
+    export_pretrained(str(tmp_path / "stage2"), p2, base_cfg)
+
+    # stage-3 model: multiview — load + surgery
+    mv_cfg = dataclasses.replace(CFG, multiview=True, max_n_view=2)
+    _, loaded = load_pretrained(str(tmp_path / "stage2"), DiTConfig)
+    params = ensure_mv_blocks(loaded, mv_cfg)
+    mv = params["params"]["blocks"]["mv_block"]
+    blk = params["params"]["blocks"]["block"]
+    np.testing.assert_array_equal(mv["attn1"]["to_q"]["kernel"],
+                                  blk["attn1"]["to_q"]["kernel"])
+    np.testing.assert_array_equal(mv["norm1"]["linear_kernel"],
+                                  blk["norm1"]["linear_kernel"])
+    np.testing.assert_array_equal(mv["proj_out"]["kernel"], 0.0)
+
+    # structure matches a fresh multiview init (multiview batch layout:
+    # B leading, V*F frames — see test_train_step multiview tests)
+    model3 = ControlDiT(mv_cfg, dtype=jnp.float32)
+    V = 2
+    xv = jnp.zeros((B, V * F, 32, H, W))
+    init3 = model3.init(
+        {"params": jax.random.PRNGKey(0), "action_mask": jax.random.PRNGKey(1)},
+        xv, enc, jnp.zeros((B,), jnp.int32), actions=acts, depths=xv,
+        labels=xv, deterministic=False, num_views=V,
+    )
+    assert (jax.tree_util.tree_structure(init3)
+            == jax.tree_util.tree_structure(params))
+    assert jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: np.shape(a) == np.shape(b), init3, params))
+
+    # frozen-except-mv train step: only mv_block moves
+    tx = make_optimizer(make_lr_schedule(warmup_steps=0, total_steps=10),
+                        trainable_predicate=lambda path: "mv_block" in path)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    C = 16
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(2), (B, 2 * C, V * F, H, W)),
+        "image_latents": jax.random.normal(jax.random.PRNGKey(3), (B, 2 * C, V, H, W)),
+        "prompt_embeds": jax.random.normal(jax.random.PRNGKey(4), (B, 4, 16)),
+        "actions": jax.random.normal(jax.random.PRNGKey(5), (B, 8, 7)) * 0.1,
+        "latents_depth": jax.random.normal(jax.random.PRNGKey(6), (B, 2 * C, V * F, H, W)),
+        "latents_label": jax.random.normal(jax.random.PRNGKey(7), (B, 2 * C, V * F, H, W)),
+    }
+    step = make_train_step(model3.apply, tx, make_schedule(), num_views=V)
+    p0 = jax.device_get(state.params)  # snapshot: the step donates state
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(8))
+    assert np.isfinite(float(metrics["loss"]))
+    p1 = jax.device_get(new_state.params)
+    # main block untouched, mv params updated
+    np.testing.assert_array_equal(
+        p1["params"]["blocks"]["block"]["attn1"]["to_q"]["kernel"],
+        p0["params"]["blocks"]["block"]["attn1"]["to_q"]["kernel"])
+    moved = np.abs(p1["params"]["blocks"]["mv_block"]["attn1"]["to_q"]["kernel"]
+                   - p0["params"]["blocks"]["mv_block"]["attn1"]["to_q"]["kernel"]).max()
+    assert moved > 0
