@@ -85,6 +85,10 @@ class AdaLNZero(nn.Module):
     embedding_dim: int
     modulate_enc: bool = False
     eps: float = 1e-5
+    # fused=True routes the video-stream norm+modulate through the Pallas
+    # one-pass kernel (ops/adaln.py) — inference-only (no VJP), wired from
+    # the model's int8-serving `quant` flag
+    fused: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -110,6 +114,18 @@ class AdaLNZero(nn.Module):
             return (norm(x).astype(jnp.float32) * (1.0 + scale.astype(jnp.float32))
                     + shift.astype(jnp.float32)).astype(x.dtype)
 
+        def mod_rows(x, scale, shift):
+            """Video-stream modulate: x [R, S, D], per-row scale/shift
+            [R, D]. The fused path does norm+modulate in ONE Pallas pass
+            (keeps f32 through the modulation; the XLA path rounds the
+            normed value to bf16 in between — fused is the more exact)."""
+            if self.fused:
+                from orv_tpu.ops.adaln import modulate_norm
+
+                return modulate_norm(x, scale, shift, norm_scale, norm_bias,
+                                     self.eps)
+            return mod(x, scale[:, None, :], shift[:, None, :])
+
         enc_gate = None
         if action_emb is not None:
             # frame-level video modulation: temb [B, D] + action [B, F, D].
@@ -122,8 +138,9 @@ class AdaLNZero(nn.Module):
             shift, scale, gate = jnp.split(vid, 3, axis=-1)
             B, S, D = hidden.shape
             num_frames = action_emb.shape[1]
-            hidden_f = hidden.reshape(B, num_frames, S // num_frames, D)
-            hidden = mod(hidden_f, scale[:, :, None, :], shift[:, :, None, :]).reshape(B, S, D)
+            hidden_f = hidden.reshape(B * num_frames, S // num_frames, D)
+            hidden = mod_rows(hidden_f, scale.reshape(B * num_frames, D),
+                              shift.reshape(B * num_frames, D)).reshape(B, S, D)
             gate = gate[:, :, None, :]  # [B, F, 1, D] — applied frame-blocked
             if self.modulate_enc:
                 txt = nn.silu(temb.astype(jnp.float32)).astype(self.dtype) @ kernel[:, 3 * dim :] \
@@ -142,7 +159,7 @@ class AdaLNZero(nn.Module):
             else:
                 shift, scale, gate = jnp.split(out, 3, axis=-1)
                 enc = norm(enc)
-            hidden = mod(hidden, scale[:, None, :], shift[:, None, :])
+            hidden = mod_rows(hidden, scale, shift)
             gate = gate[:, None, :]
 
         return hidden, enc, gate, enc_gate
@@ -378,9 +395,9 @@ class DiTBlock(nn.Module):
     def __call__(self, hidden, enc, temb, rope=None, action_emb=None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         norm1 = AdaLNZero(self.time_embed_dim, self.dim, self.modulate_enc,
-                          self.norm_eps, name="norm1", **kw)
+                          self.norm_eps, fused=self.quant, name="norm1", **kw)
         norm2 = AdaLNZero(self.time_embed_dim, self.dim, self.modulate_enc,
-                          self.norm_eps, name="norm2", **kw)
+                          self.norm_eps, fused=self.quant, name="norm2", **kw)
         attn = JointAttention(self.heads, self.head_dim, self.qk_norm,
                               self.attention_bias, True, self.attn_impl,
                               quant=self.quant, sp_mesh=self.sp_mesh, name="attn1", **kw)
@@ -427,7 +444,7 @@ class MVBlock(nn.Module):
     def __call__(self, hidden, enc, temb, rope_view=None, n_view: int = 1, n_frame: int = 1):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         norm1 = AdaLNZero(self.time_embed_dim, self.dim, self.modulate_enc,
-                          self.norm_eps, name="norm1", **kw)
+                          self.norm_eps, fused=self.quant, name="norm1", **kw)
         attn = JointAttention(self.heads, self.head_dim, True, self.attention_bias,
                               True, self.attn_impl, quant=self.quant, name="attn1", **kw)
         # dead-but-checkpointed params

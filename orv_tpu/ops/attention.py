@@ -59,10 +59,10 @@ def mha_reference(q, k, v, scale: Optional[float] = None):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
-                *, kv_len, block_k, d_model):
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+                *, kv_len, block_k):
     """Transposed ("kv-major") layout: the score tile is computed as
-    s^T = K @ Q^T [bk, bq] and the PV accumulation as V^T @ P^T [Dv, bq].
+    s^T = K @ Q^T [bk, bq] and the PV accumulation as V^T @ P^T [D, bq].
 
     Why: at head_dim 64 the classic q-major layout runs BOTH matmuls at
     half MXU utilization (QK^T has contraction 64, PV has only 64 output
@@ -72,18 +72,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
     P^T is exactly the s^T tile, so no transpose ever materializes; the
     only relayout is the [D, bq] -> [bq, D] output flip once per q block.
 
-    q is pre-scaled by sm_scale outside the kernel. v carries a ones column
-    at index d_model so the softmax denominator rides the PV matmul (row
-    d_model of the accumulator) instead of a VPU reduce pass. Per-query
-    running stats (m, l) live along lanes [1, bq], broadcasting freely over
-    the accumulator's sublanes. Tail-key masking runs only on the final KV
-    block (rows of s^T)."""
+    q is pre-scaled by sm_scale outside the kernel. The softmax denominator
+    is a VPU sublane-reduce of p^T per tile (a [bk, bq] f32 sum — ~µs on
+    the VPU) accumulated in l_scr; riding it as a ones-row of v would pad
+    the PV matmul's sublane dim 64 -> 80, +25% MXU work (~10 ms/step at
+    the flagship shape). Per-query running stats (m, l) live along lanes
+    [1, bq], broadcasting freely over the accumulator's sublanes. Tail-key
+    masking runs only on the final KV block (rows of s^T)."""
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
     @pl.when(ki == 0)
     def _init():
         m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     q_t = q_ref[0]  # [d, bq] (pre-transposed outside the kernel)
@@ -102,8 +104,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
     alpha = jnp.exp(m_prev - m_new)  # [1, bq]
     p_t = jnp.exp(s_t - m_new)  # [bk, bq]
 
-    # PV^T matmul [Dv, bq]: contraction bk, lanes bq — full MXU; also
-    # accumulates l via the ones row of v_t_ext (row d_model)
+    l_scr[:1] = l_scr[:1] * alpha + jnp.sum(p_t, axis=0, keepdims=True)
+    # PV^T matmul [D, bq]: contraction bk, lanes bq — full MXU
     acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
         v_ref[0], p_t.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -112,15 +114,15 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, acc_scr,
 
     @pl.when(ki == nk - 1)
     def _finish():
-        l = acc_scr[d_model:d_model + 1]  # [1, bq]
+        l = l_scr[:1]  # [1, bq]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:d_model] / l_safe).T.astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / l_safe).T.astype(o_ref.dtype)
         lse = (m_scr[:1] + jnp.log(l_safe)).T  # [bq, 1]
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
-def _fwd_kernel_static_max(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr,
-                           *, kv_len, block_k, d_model, static_max):
+def _fwd_kernel_static_max(q_ref, k_ref, v_ref, o_ref, lse_ref, l_scr, acc_scr,
+                           *, kv_len, block_k, static_max):
     """Static-max variant of the transposed kernel (see _fwd_kernel): valid
     when logits are provably bounded (this DiT qk-LayerNorms every head, so
     |s| <= |q||k|*scale ~ 8 << f32 exp range). Skips the running-max reduce
@@ -131,6 +133,7 @@ def _fwd_kernel_static_max(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr,
 
     @pl.when(ki == 0)
     def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
     s_t = jax.lax.dot_general(
@@ -139,6 +142,7 @@ def _fwd_kernel_static_max(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr,
 
     def accumulate(s_t):
         p_t = jnp.exp(s_t - static_max)
+        l_scr[:1] += jnp.sum(p_t, axis=0, keepdims=True)
         acc_scr[:] += jax.lax.dot_general(
             v_ref[0], p_t.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -160,15 +164,15 @@ def _fwd_kernel_static_max(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_scr,
 
     @pl.when(ki == nk - 1)
     def _finish():
-        l = acc_scr[d_model:d_model + 1]  # [1, bq]
+        l = l_scr[:1]  # [1, bq]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:d_model] / l_safe).T.astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / l_safe).T.astype(o_ref.dtype)
         lse = (static_max + jnp.log(l_safe)).T
         lse_ref[0] = jnp.broadcast_to(lse, lse_ref.shape[1:])
 
 
 def _fwd_kernel_q8(q_ref, k_ref, v_ref, sk_ref, o_ref, acc_scr, q8_scr,
-                   sq_scr, *, kv_len, q_len, block_q, block_k, d_model, static_max):
+                   sq_scr, l_scr, *, kv_len, q_len, block_q, block_k, static_max):
     """int8-QK^T variant of the transposed static-max kernel.
 
     The score matmul runs on the MXU in int8 (2x bf16 throughput — the
@@ -189,6 +193,7 @@ def _fwd_kernel_q8(q_ref, k_ref, v_ref, sk_ref, o_ref, acc_scr, q8_scr,
     @pl.when(ki == 0)
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
+        l_scr[:] = jnp.zeros_like(l_scr)
         qf = q_ref[0].astype(jnp.float32)  # [d, bq]
         sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=0, keepdims=True), 1e-6)
         q8_scr[:] = jnp.round(qf * (127.0 / sq)).astype(jnp.int8)
@@ -203,6 +208,7 @@ def _fwd_kernel_q8(q_ref, k_ref, v_ref, sk_ref, o_ref, acc_scr, q8_scr,
 
     def accumulate(s_t):
         p_t = jnp.exp(s_t - static_max)
+        l_scr[:1] += jnp.sum(p_t, axis=0, keepdims=True)
         acc_scr[:] += jax.lax.dot_general(
             v_ref[0], p_t.astype(v_ref.dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -223,9 +229,9 @@ def _fwd_kernel_q8(q_ref, k_ref, v_ref, sk_ref, o_ref, acc_scr, q8_scr,
 
     @pl.when(ki == nk - 1)
     def _finish():
-        l = acc_scr[d_model:d_model + 1]
+        l = l_scr[:1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = (acc_scr[:d_model] / l_safe).T.astype(o_ref.dtype)
+        o_ref[0] = (acc_scr[:] / l_safe).T.astype(o_ref.dtype)
 
 
 def _fwd_q8(q, k, v, scale, block_q, block_k, static_max):
@@ -236,10 +242,10 @@ def _fwd_q8(q, k, v, scale, block_q, block_k, static_max):
     Sq_pad = pl.cdiv(S, block_q) * block_q
     Skv_pad = pl.cdiv(Skv, block_k) * block_k
     bh = B * H
-    # Dv is the accumulator's SUBLANE dim, not lanes: bf16 tiling only
-    # needs %16. Rounding to 128 doubled the PV matmul's executed FLOPs
-    # (profiled: attention was 47% of the step, half of it zero rows).
-    Dv = max(_round_up(D + 1, 16), 16)
+    # the accumulator is exactly [D, bq]: the softmax denominator is a VPU
+    # sublane-reduce in-kernel, NOT a ones-row of v — padding the PV
+    # matmul's sublane dim 64 -> 80 costs +25% MXU work on the step's
+    # hottest matmul (~10 ms/step at the flagship shape)
 
     k = k - k.mean(axis=2, keepdims=True)  # per-head token-mean smoothing
     qp = (jnp.pad(q, ((0, 0), (0, 0), (0, Sq_pad - S), (0, 0))) * jnp.asarray(scale, q.dtype)
@@ -251,10 +257,8 @@ def _fwd_q8(q, k, v, scale, block_q, block_k, static_max):
     k8 = jnp.round(kb * (127.0 / sk[:, :, None, None])).astype(jnp.int8
                    ).reshape(bh, Skv_pad, D)
     sk_r = sk / 127.0
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_pad - Skv), (0, 0))).reshape(bh, Skv_pad, D)
-    ones = jnp.ones((bh, Skv_pad, 1), dtype=v.dtype)
-    vp = jnp.concatenate([vp, ones, jnp.zeros((bh, Skv_pad, Dv - D - 1), v.dtype)],
-                         axis=-1).swapaxes(1, 2)  # [bh, Dv, Skv]
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_pad - Skv), (0, 0))
+                 ).reshape(bh, Skv_pad, D).swapaxes(1, 2)  # [bh, D, Skv]
 
     grid = (bh, Sq_pad // block_q, Skv_pad // block_k)
     # no lse output: inference-only kernel, nothing consumes it — at the
@@ -263,20 +267,21 @@ def _fwd_q8(q, k, v, scale, block_q, block_k, static_max):
     out = pl.pallas_call(
         functools.partial(
             _fwd_kernel_q8, kv_len=Skv, q_len=S, block_q=block_q,
-            block_k=block_k, d_model=D, static_max=float(static_max),
+            block_k=block_k, static_max=float(static_max),
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, D, block_q), lambda b, qi, ki: (b, 0, qi)),
             pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, Dv, block_k), lambda b, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((1, D, block_k), lambda b, qi, ki: (b, 0, ki)),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # sk [bh, nk] whole in SMEM
         ],
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, Sq_pad, D), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((Dv, block_q), jnp.float32),
+            pltpu.VMEM((D, block_q), jnp.float32),
             pltpu.VMEM((D, block_q), jnp.int8),
+            pltpu.VMEM((8, block_q), jnp.float32),
             pltpu.VMEM((8, block_q), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -317,38 +322,41 @@ def _fwd(q, k, v, scale, block_q, block_k, static_max=None):
     Sq_pad = pl.cdiv(S, block_q) * block_q
     Skv_pad = pl.cdiv(Skv, block_k) * block_k
     bh = B * H
-    Dv = max(_round_up(D + 1, 16), 16)  # v + ones row; sublane dim, %16 (bf16 tile)
-    # q and v enter the kernel pre-transposed ([D, S] / [Dv, S]) so both
+    # q and v enter the kernel pre-transposed ([D, S] both) so both
     # kernel matmuls are plain A@B — Mosaic inserts per-tile relayouts for
     # transposed-operand dot_generals, which costs ~20% at these shapes.
+    # The softmax denominator is an in-kernel VPU reduce (see _fwd_kernel),
+    # so v carries NO ones-row and the PV accumulator stays [D, bq].
     qp = (jnp.pad(q, ((0, 0), (0, 0), (0, Sq_pad - S), (0, 0))) * jnp.asarray(scale, q.dtype)
           ).reshape(bh, Sq_pad, D).swapaxes(1, 2)  # [bh, D, Sq]
     kp = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_pad - Skv), (0, 0))).reshape(bh, Skv_pad, D)
-    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_pad - Skv), (0, 0))).reshape(bh, Skv_pad, D)
-    ones = jnp.ones((bh, Skv_pad, 1), dtype=v.dtype)
-    vp = jnp.concatenate([vp, ones, jnp.zeros((bh, Skv_pad, Dv - D - 1), v.dtype)],
-                         axis=-1).swapaxes(1, 2)  # [bh, Dv, Skv]
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_pad - Skv), (0, 0))
+                 ).reshape(bh, Skv_pad, D).swapaxes(1, 2)  # [bh, D, Skv]
 
     grid = (bh, Sq_pad // block_q, Skv_pad // block_k)
     if static_max is None:
-        kernel = functools.partial(_fwd_kernel, kv_len=Skv, block_k=block_k, d_model=D)
+        kernel = functools.partial(_fwd_kernel, kv_len=Skv, block_k=block_k)
         scratch = [
             pltpu.VMEM((8, block_q), jnp.float32),   # running max along lanes
-            pltpu.VMEM((Dv, block_q), jnp.float32),  # transposed accumulator
+            pltpu.VMEM((8, block_q), jnp.float32),   # running denominator
+            pltpu.VMEM((D, block_q), jnp.float32),   # transposed accumulator
         ]
     else:
         kernel = functools.partial(
-            _fwd_kernel_static_max, kv_len=Skv, block_k=block_k, d_model=D,
+            _fwd_kernel_static_max, kv_len=Skv, block_k=block_k,
             static_max=float(static_max),
         )
-        scratch = [pltpu.VMEM((Dv, block_q), jnp.float32)]
+        scratch = [
+            pltpu.VMEM((8, block_q), jnp.float32),   # running denominator
+            pltpu.VMEM((D, block_q), jnp.float32),
+        ]
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, D, block_q), lambda b, qi, ki: (b, 0, qi)),
             pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
-            pl.BlockSpec((1, Dv, block_k), lambda b, qi, ki: (b, 0, ki)),
+            pl.BlockSpec((1, D, block_k), lambda b, qi, ki: (b, 0, ki)),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
@@ -372,10 +380,6 @@ def _fwd(q, k, v, scale, block_q, block_k, static_max=None):
     )(qp, kp, vp)
     out = out.reshape(B, H, Sq_pad, D)[:, :, :S]
     return out, lse  # lse stays [bh, Sq_pad, LANES] for the backward
-
-
-def _round_up(x: int, m: int) -> int:
-    return (x + m - 1) // m * m
 
 
 # ---------------------------------------------------------------------------

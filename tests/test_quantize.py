@@ -106,3 +106,30 @@ def test_multiview_quant_tree_matches():
     o_q, _, _ = mq.apply(pq, x, enc, t, num_views=2)
     rel = float(jnp.max(jnp.abs(o_q - o_ref)) / jnp.max(jnp.abs(o_ref)))
     assert rel < 0.02, rel
+
+
+def test_fused_adaln_matches_xla():
+    """ops/adaln.modulate_norm (one-pass Pallas norm+modulate, serving path)
+    must match the XLA lowering within bf16 rounding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orv_tpu.models.layers import _layer_norm
+    from orv_tpu.ops.adaln import modulate_norm
+
+    R, S, D = 6, 50, 256
+    k = jax.random.PRNGKey(0)
+    x = (jax.random.normal(k, (R, S, D)) * 2.0).astype(jnp.bfloat16)
+    scale = jax.random.normal(jax.random.PRNGKey(1), (R, D)).astype(jnp.bfloat16)
+    shift = jax.random.normal(jax.random.PRNGKey(2), (R, D)).astype(jnp.bfloat16)
+    ns = jax.random.normal(jax.random.PRNGKey(3), (D,)) * 0.1 + 1.0
+    nb = jax.random.normal(jax.random.PRNGKey(4), (D,)) * 0.1
+
+    got = modulate_norm(x, scale, shift, ns, nb)
+    ref = (_layer_norm(x, ns, nb, 1e-5).astype(jnp.float32)
+           * (1.0 + scale[:, None, :].astype(jnp.float32))
+           + shift[:, None, :].astype(jnp.float32)).astype(x.dtype)
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32), atol=0.06, rtol=0.05)
