@@ -428,7 +428,19 @@ def run_reconstruction(data_root: str, backend: str = "depth_unproject",
             ep = Path(ep_dir)
             K = np.asarray(json.loads((ep / "intrinsics.json").read_text())["K"])
             poses = result.get("poses")
+            if poses is None:
+                raise ValueError(
+                    f"dense=True needs camera poses but reconstruction "
+                    f"backend '{backend}' returned none for {ep_dir} — use a "
+                    "pose-emitting backend or provide poses.npy"
+                )
             depth_files = sorted((ep / "depth").glob("*.npy"))
+            if len(depth_files) != len(poses):
+                raise ValueError(
+                    f"{ep_dir}: {len(depth_files)} depth maps vs "
+                    f"{len(poses)} poses — TSDF fusion needs one pose per "
+                    "depth frame"
+                )
             depths = [np.load(f) for f in depth_files]
             surf = tsdf_fuse(depths, poses, K)
             np.savez(ep / "dense_surface.npz", points=surf)
@@ -566,10 +578,16 @@ def hash_embedding(text: str, dim: int = 64) -> np.ndarray:
     for a sentence-embedding backend so vocabulary clustering stays runnable
     offline. Same-word captions collide to identical vectors, which is the
     property clustering needs."""
+    import zlib
+
     v = np.zeros(dim, np.float64)
     t = f"##{text.lower()}##"
     for i in range(len(t) - 2):
-        h = hash(t[i:i + 3]) % dim
+        # crc32, NOT builtin hash(): str hash is salted per process
+        # (PYTHONHASHSEED), and build_label_vocab re-runs on resume while
+        # run_labeling's per-episode stage is skip-if-exists — a resumed run
+        # must cluster captions into the SAME vocabulary
+        h = zlib.crc32(t[i:i + 3].encode()) % dim
         v[h] += 1.0
     n = np.linalg.norm(v)
     return v / n if n > 0 else v
