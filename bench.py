@@ -425,7 +425,7 @@ def main():
         # memory hold descend to chunk 4 (~7GB) / 2 / 0 (spatially tiled,
         # ~2GB — the last-resort rung) in FRESH subprocesses
         ("vae", dict(ladder=[(6,), (4,), (2,), (0,)], max_attempts=4,
-                     first_timeout=600.0)),
+                     first_timeout=1500.0)),
         ("train", dict(max_attempts=2, first_timeout=600.0)),
     ]:
         if _remaining() < 90.0:

@@ -36,11 +36,14 @@ from orv_tpu.utils.checkpoint import load_pretrained
 from orv_tpu.utils.logging import CONSOLE
 
 
-def save_video(path: str, video: np.ndarray, fps: int = 8):
-    """video [T, H, W, 3] uint8 -> mp4 (cv2/imageio) with gif fallback."""
-    from orv_tpu.utils.video import write_video
+def save_video(path: str, video: np.ndarray, fps: int = 8, gif: bool = True):
+    """video [T, H, W, 3] uint8 -> mp4 (cv2/imageio) + gif alongside (the
+    reference exports both, evaluation_control_to_video.py:409-434)."""
+    from orv_tpu.utils.video import write_gif, write_video
 
-    write_video(str(path), video, fps=fps)
+    written = write_video(str(path), video, fps=fps)
+    if gif and not str(written).endswith(".gif"):
+        write_gif(str(path), video, fps=fps)
 
 
 def to_uint8(video: np.ndarray) -> np.ndarray:
@@ -228,15 +231,35 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
                 z = jnp.asarray(lat_np)[None].transpose(0, 2, 1, 3, 4) / scaling
                 video = decode_chunked(vae, vae_params, z, chunk_latent_frames=6)
                 pool.submit(save_video, str(out_dir / f"{name}.mp4"),
-                            to_uint8(np.asarray(video[0])), int(ev.get("save_fps", 8)))
+                            to_uint8(np.asarray(video[0])), int(ev.get("save_fps", 8)),
+                            bool(ev.get("save_gif", True)))
             results.append(name)
         CONSOLE.log(f"eval batch {bi // bs + 1}: {len(idxs)} episodes done")
 
     pool.shutdown(wait=True)
     with open(out_dir / f"manifest_{pid}.json", "w") as f:
         json.dump(results, f)
+    _merge_manifests(out_dir, n_proc, pid)
     CONSOLE.log(f"evaluation complete: {len(results)} clips -> {out_dir}")
     return results
+
+
+def _merge_manifests(out_dir: Path, n_proc: int, pid: int) -> None:
+    """Rank 0 merges every process's manifest into one manifest.json
+    (reference rank-0 tmp/{rank} merge, evaluation_control_to_video.py:
+    409-434). Multi-host runs barrier first so every shard is on disk."""
+    if n_proc > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("orv_tpu_eval_manifests")
+    if pid != 0:
+        return
+    merged: List[str] = []
+    for mf in sorted(out_dir.glob("manifest_*.json")):
+        with open(mf) as f:
+            merged.extend(json.load(f))
+    with open(out_dir / "manifest.json", "w") as f:
+        json.dump(sorted(set(merged)), f)
 
 
 def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
@@ -326,7 +349,7 @@ def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
                     decode_chunked(vae, vae_params, z, chunk_latent_frames=6)[0]))
             video = np.concatenate(videos, axis=1)  # [3, sum T, H, W]
             save_video(str(out_dir / f"{ep}_cascaded.mp4"), to_uint8(video),
-                       int(ev.get("save_fps", 8)))
+                       int(ev.get("save_fps", 8)), bool(ev.get("save_gif", True)))
         results.append(ep)
         CONSOLE.log(f"cascaded episode {ep}: {len(chunks_out)} chunks")
     with open(out_dir / "manifest_cascaded.json", "w") as f:

@@ -43,6 +43,19 @@ def write_video(path: str, frames: np.ndarray, fps: int = 8) -> str:
     return gif
 
 
+def write_gif(path: str, frames: np.ndarray, fps: int = 8) -> str:
+    """frames [T, H, W, 3] uint8 -> animated gif. The reference exports a
+    gif alongside every eval mp4 (evaluation_control_to_video.py:409-434)."""
+    import imageio
+
+    path = str(Path(path).with_suffix(".gif"))
+    try:
+        imageio.mimwrite(path, list(frames), fps=fps)
+    except TypeError:  # imageio v3 gif writer takes duration, not fps
+        imageio.mimwrite(path, list(frames), duration=1000.0 / max(fps, 1))
+    return path
+
+
 def read_video(path: str, frame_ids: Optional[Sequence[int]] = None) -> np.ndarray:
     """-> [T, H, W, 3] uint8 (all frames, or the requested ids in order)."""
     frames = _read_all(path)

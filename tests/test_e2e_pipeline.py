@@ -109,6 +109,9 @@ def test_train_then_eval(pipeline_root, tmp_path):
     results = evaluate(cfg, max_batches=1)
     assert len(results) == 2
     assert len(list((tmp_path / "eval").glob("*_latents.npz"))) == 2
+    # rank-0 manifest merge (reference evaluation_control_to_video.py:409-434)
+    merged = json.loads((tmp_path / "eval" / "manifest.json").read_text())
+    assert sorted(merged) == sorted(results)
 
 
 def test_occupancy_selfhosted_e2e(tmp_path):
@@ -273,8 +276,9 @@ def test_cascaded_eval_from_raw_pixels(pipeline_root, tmp_path):
     stitched = np.load(out[0])["arr_0"]
     assert np.isfinite(stitched).all()
     assert stitched.shape[0] >= 2 * 3  # >=2 chained chunks of 3 latent frames
-    # with a VAE present the stitched mp4 exports too
+    # with a VAE present the stitched mp4 exports too, with gif alongside
     assert len(list((tmp_path / "eval_raw_casc").glob("*_cascaded.mp4"))) == 2
+    assert len(list((tmp_path / "eval_raw_casc").glob("*_cascaded.gif"))) == 2
 
 
 def test_validation_renders_video_with_vae(pipeline_root, tmp_path):
