@@ -148,6 +148,22 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
         vae_params = convert_vae_state_dict(load_torch_state_dict(str(vae_path)), VAEConfig())
         CONSOLE.log(f"loaded VAE from {vae_path}")
 
+    # sharded serving (evaluation.mesh.tp > 1): Megatron column/row param
+    # shardings over the tp axis; GSPMD propagates through the jitted
+    # sampler scan and inserts the all-reduces on ICI. The reference has no
+    # multi-GPU inference path (SURVEY §2.3) — this replaces "one GPU per
+    # eval shard" with "one model over N chips" for models/serving configs
+    # that exceed a single chip's HBM.
+    mesh_cfg = ev.get("mesh", {}) or {}
+    if int(mesh_cfg.get("tp", 1)) > 1 or int(mesh_cfg.get("fsdp", 1)) > 1:
+        from orv_tpu.parallel import MeshConfig, make_mesh, param_shardings
+
+        mesh = make_mesh(MeshConfig(dp=int(mesh_cfg.get("dp", -1)),
+                                    fsdp=int(mesh_cfg.get("fsdp", 1)),
+                                    tp=int(mesh_cfg.get("tp", 1))))
+        params = jax.device_put(params, param_shardings(params, mesh))
+        CONSOLE.log(f"inference sharding: mesh {dict(mesh.shape)}")
+
     cascaded = bool(ev.get("cascaded", False))
     dataset = build_dataset(cfg, split=cfg.dataset.get("split", "test"),
                             cascaded=cascaded)

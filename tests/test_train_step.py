@@ -199,3 +199,33 @@ def test_initialize_distributed_bad_coordinator_raises():
 
     with pytest.raises(RuntimeError, match="distributed bring-up failed"):
         initialize_distributed("definitely-not-a-host:1234", 2, 0)
+
+
+def test_tp_sharded_sampler_matches_single_device():
+    """Sharded serving: Megatron tp param shardings through the jitted
+    sampler scan (GSPMD inserts the collectives) must reproduce the
+    single-device denoise exactly."""
+    import dataclasses
+
+    from orv_tpu.parallel import MeshConfig, make_mesh, param_shardings
+    from orv_tpu.pipelines.sample import SamplerConfig, make_sampler
+    from orv_tpu.schedulers import make_schedule
+
+    cfg = dataclasses.replace(CFG, recon_action=False)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    B, F, C, H, W = 1, 3, 16, 8, 16
+    k = jax.random.PRNGKey
+    lat = jax.random.normal(k(0), (B, F, C, H, W))
+    img = jax.random.normal(k(1), (B, F, C, H, W)) * 0.1
+    enc = jax.random.normal(k(2), (B, 8, 32))
+    params = model.init(k(3), jnp.concatenate([lat, lat], 2), enc,
+                        jnp.zeros((B,), jnp.int32))
+    sampler = make_sampler(model.apply, make_schedule(),
+                           SamplerConfig(num_inference_steps=3))
+    ref = jax.jit(sampler)(params, lat, img, enc, k(9))
+
+    mesh = make_mesh(MeshConfig(dp=-1, fsdp=1, tp=2), backend="cpu")  # tp=2 over 2 heads
+    sharded = jax.device_put(params, param_shardings(params, mesh))
+    got = jax.jit(sampler)(sharded, lat, img, enc, k(9))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
