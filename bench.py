@@ -419,6 +419,20 @@ def main():
     # parseable (all-stale) line exists within seconds of process start
     _emit(results, cache, incomplete)
 
+    # hard backstop: even if a phase subprocess wedges past its own timeout
+    # (tunnel pathology), the global budget still ends the run with a final
+    # best-so-far emit instead of relying on the driver's outer kill
+    import signal
+
+    def _deadline(_sig, _frm):
+        print("bench: global budget exhausted — emitting best-so-far",
+              file=sys.stderr, flush=True)
+        _emit(results, cache, incomplete)
+        sys.exit(0)
+
+    signal.signal(signal.SIGALRM, _deadline)
+    signal.alarm(int(GLOBAL_BUDGET_S + 30))
+
     for phase, kwargs in [
         ("sampler", dict(max_attempts=3, first_timeout=900.0)),
         # decode chunk 6 is fastest but needs ~10GB HBM; under a co-tenant

@@ -417,9 +417,17 @@ class RobotDataset:
         except Exception:
             if os.environ.get("DEBUG"):
                 raise
-            # reference behavior: resample another index on a bad sample
-            return self._getitem(random.randrange(len(self.samples)),
-                                 ref_num=ref_num, n_view=n_view)
+            # reference behavior: resample another index on a bad sample —
+            # retried a few times so one resample landing on another (or the
+            # same) bad sample doesn't kill a multi-day run
+            last: Exception
+            for _ in range(10):
+                try:
+                    return self._getitem(random.randrange(len(self.samples)),
+                                         ref_num=ref_num, n_view=n_view)
+                except Exception as e:  # noqa: BLE001
+                    last = e
+            raise last
 
     def _getitem(self, idx: int, ref_num: Optional[int] = None,
                  n_view: Optional[int] = None) -> Dict[str, Any]:

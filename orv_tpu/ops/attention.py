@@ -303,7 +303,7 @@ def flash_attention_q8(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     block_q: int = 1024,
-    block_k: int = 2048,
+    block_k: int = 1024,
     static_max: float = 24.0,
 ) -> jnp.ndarray:
     """Inference-only flash attention with the QK^T matmul in int8
@@ -577,7 +577,7 @@ def flash_attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     block_q: int = 1024,
-    block_k: int = 2048,
+    block_k: int = 1024,
     static_max: Optional[float] = None,
 ) -> jnp.ndarray:
     """Flash attention over [B, H, S, D], differentiable.
@@ -617,7 +617,7 @@ def attention_with_lse(q, k, v, scale: Optional[float] = None, impl: str = "auto
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
     if impl == "flash":
         block_q = _pick_block(q.shape[2], 1024, 128)
-        block_k = _pick_block(k.shape[2], 2048, 128)
+        block_k = _pick_block(k.shape[2], 1024, 128)
         out, lse = _fwd(q, k, v, float(scale), block_q, block_k)
         B, H, S, _ = q.shape
         lse = lse.reshape(B, H, -1, LANES)[:, :, :S, 0]
