@@ -279,6 +279,11 @@ def _load_cache() -> dict:
 
 def _save_cache(cache: dict) -> None:
     try:
+        # merge with on-disk contents: another process (or a manual seed)
+        # may have written keys this run never measured — never drop them
+        on_disk = _load_cache()
+        on_disk.update(cache)
+        cache.update(on_disk)
         CACHE_PATH.write_text(json.dumps(cache, indent=1) + "\n")
     except OSError:
         pass  # read-only checkout: cache is an optimization, not a requirement
