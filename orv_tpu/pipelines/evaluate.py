@@ -52,7 +52,8 @@ def to_uint8(video: np.ndarray) -> np.ndarray:
     return (v * 255).round().astype(np.uint8)
 
 
-def _encode_raw(batch: Dict[str, Any], vae, vae_params, dit_cfg) -> Dict[str, Any]:
+def _encode_raw(batch: Dict[str, Any], vae, vae_params, dit_cfg,
+                chunk_frames: int = 8) -> Dict[str, Any]:
     """`load_tensors: false` items carry raw pixels (videos/image, raw cond
     maps) — VAE-encode them into the moments the sampler path expects
     (the reference's cascaded eval config runs exactly this way,
@@ -65,17 +66,14 @@ def _encode_raw(batch: Dict[str, Any], vae, vae_params, dit_cfg) -> Dict[str, An
             "pass vae.pretrained_name_or_path"
         )
 
-    def enc(x, chunk_frames: int = 8):
+    def enc(x):
         # flagship 49x320x480 clips exceed HBM in one encoder pass — stream
         # long clips through the conv-cached chunked encode (the reference
         # frame-batches vae._encode, encode_dataset.py:793-927)
-        x = jnp.asarray(x)
-        if x.shape[2] > chunk_frames + 1:
-            from orv_tpu.models.vae import encode_chunked
+        from orv_tpu.models.vae import encode_auto
 
-            return np.asarray(encode_chunked(vae, vae_params, x,
-                                             chunk_frames=chunk_frames))
-        return np.asarray(vae.apply(vae_params, x, method=vae.encode))
+        return np.asarray(encode_auto(vae, vae_params, jnp.asarray(x),
+                                      chunk_frames=chunk_frames))
 
     batch = dict(batch)
     batch["latents"] = enc(np.asarray(batch["videos"]).transpose(0, 2, 1, 3, 4))
@@ -198,7 +196,8 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
     for bi in range(0, len(indices), bs):
         idxs = indices[bi : bi + bs]
         batch = collate_control([dataset[i] for i in idxs])
-        batch = _encode_raw(batch, vae, vae_params, dit_cfg)
+        batch = _encode_raw(batch, vae, vae_params, dit_cfg,
+                            chunk_frames=int(cfg.dataset.get("encode_chunk_frames", 8)))
         rng, r_img, r_ctrl, r_noise, r_samp = jax.random.split(rng, 5)
 
         lat_moments = jnp.asarray(batch["latents"])
@@ -271,9 +270,14 @@ def _merge_manifests(out_dir: Path, n_proc: int, pid: int) -> None:
     if pid != 0:
         return
     merged: List[str] = []
-    for mf in sorted(out_dir.glob("manifest_*.json")):
-        with open(mf) as f:
-            merged.extend(json.load(f))
+    # merge exactly this run's per-process shards — a bare glob would also
+    # pick up manifest_cascaded.json and stale manifest_{k}.json files left
+    # by an earlier run with more processes
+    for k in range(n_proc):
+        mf = out_dir / f"manifest_{k}.json"
+        if mf.exists():
+            with open(mf) as f:
+                merged.extend(json.load(f))
     with open(out_dir / "manifest.json", "w") as f:
         json.dump(sorted(set(merged)), f)
 
@@ -304,7 +308,9 @@ def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
             item = {k: (v[None] if isinstance(v, np.ndarray) else v)
                     for k, v in item.items()}
             item = {k: (v[0] if isinstance(v, np.ndarray) else v)
-                    for k, v in _encode_raw(item, vae, vae_params, dit_cfg).items()}
+                    for k, v in _encode_raw(
+                        item, vae, vae_params, dit_cfg,
+                        chunk_frames=int(cfg.dataset.get("encode_chunk_frames", 8))).items()}
             r_ep, r_img, r_noise, r_samp = jax.random.split(r_ep, 4)
             lat_m = jnp.asarray(item["latents"])[None]
             F_lat, H, W = lat_m.shape[2], lat_m.shape[3], lat_m.shape[4]

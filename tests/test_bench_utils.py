@@ -1,0 +1,66 @@
+"""Unit tests for bench.py's cache/report plumbing and the eval manifest
+merge — the pieces the driver's record depends on (no TPU, no model)."""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _load_bench(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location("bench_under_test", ROOT / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "CACHE_PATH", tmp_path / ".bench_cache.json")
+    # keep _emit from initializing the (tunneled) TPU backend via jax.devices()
+    monkeypatch.setattr(mod, "_DEVICE_STR", "cpu-test")
+    return mod
+
+
+def test_save_cache_keeps_best_of_both(tmp_path, monkeypatch):
+    bench = _load_bench(tmp_path, monkeypatch)
+    # another (overlapping) run wrote a BETTER vae number to disk
+    bench.CACHE_PATH.write_text(json.dumps({"vae_decode_s": 1.60, "train_step_s": 0.5}))
+    cache = {"vae_decode_s": 1.70, "sampler_s": 11.7}
+    bench._save_cache(cache)
+    on_disk = json.loads(bench.CACHE_PATH.read_text())
+    assert on_disk["vae_decode_s"] == 1.60  # never regress best-so-far
+    assert on_disk["sampler_s"] == 11.7  # new keys land
+    assert on_disk["train_step_s"] == 0.5  # unmeasured keys survive
+
+
+def test_emit_stale_and_fresh(tmp_path, monkeypatch, capsys):
+    bench = _load_bench(tmp_path, monkeypatch)
+    cache = {"sampler_s": 12.0, "vae_decode_s": 1.8}
+    bench._emit({"sampler": 11.5}, cache, incomplete=["vae", "train"])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] > 0
+    assert line["detail"]["sampler_s"] == 11.5  # fresh beats cache
+    assert line["detail"]["stale"] == ["vae"]
+    assert line["detail"]["incomplete"] == ["vae", "train"]
+    assert line["baseline_is_estimate"] is True
+
+
+def test_emit_silent_without_sampler_or_vae(tmp_path, monkeypatch, capsys):
+    bench = _load_bench(tmp_path, monkeypatch)
+    before = bench._EMITTED
+    bench._emit({"train": 0.5}, {}, incomplete=["sampler", "vae"])
+    assert capsys.readouterr().out == ""  # nothing reportable
+    assert bench._EMITTED == before  # main()'s fallback guard keys off this
+
+
+def test_merge_manifests_skips_stale_and_cascaded(tmp_path):
+    from orv_tpu.pipelines.evaluate import _merge_manifests
+
+    (tmp_path / "manifest_0.json").write_text(json.dumps(["a", "b"]))
+    (tmp_path / "manifest_1.json").write_text(json.dumps(["c"]))
+    # stale shard from an earlier 4-process run + a cascaded manifest
+    (tmp_path / "manifest_2.json").write_text(json.dumps(["stale"]))
+    (tmp_path / "manifest_cascaded.json").write_text(json.dumps(["casc"]))
+    _merge_manifests(tmp_path, n_proc=1, pid=0)
+    assert json.loads((tmp_path / "manifest.json").read_text()) == ["a", "b"]
+    _merge_manifests(tmp_path, n_proc=2, pid=0)
+    assert json.loads((tmp_path / "manifest.json").read_text()) == ["a", "b", "c"]
