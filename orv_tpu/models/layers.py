@@ -89,6 +89,11 @@ class AdaLNZero(nn.Module):
     # one-pass kernel (ops/adaln.py) — inference-only (no VJP), wired from
     # the model's int8-serving `quant` flag
     fused: bool = False
+    # emit_q8=True (requires fused) makes the kernel emit the W8A8 per-token
+    # int8 quantization directly: the video stream returns as a
+    # (xq int8, scale f32) tuple that Int8Dense consumes without re-reading
+    # the activation for amax/round
+    emit_q8: bool = False
     dtype: Dtype = jnp.bfloat16
     param_dtype: Dtype = jnp.float32
 
@@ -120,8 +125,11 @@ class AdaLNZero(nn.Module):
             (keeps f32 through the modulation; the XLA path rounds the
             normed value to bf16 in between — fused is the more exact)."""
             if self.fused:
-                from orv_tpu.ops.adaln import modulate_norm
+                from orv_tpu.ops.adaln import modulate_norm, modulate_norm_q8
 
+                if self.emit_q8:
+                    return modulate_norm_q8(x, scale, shift, norm_scale,
+                                            norm_bias, self.eps)
                 return modulate_norm(x, scale, shift, norm_scale, norm_bias,
                                      self.eps)
             return mod(x, scale[:, None, :], shift[:, None, :])
@@ -140,7 +148,11 @@ class AdaLNZero(nn.Module):
             num_frames = action_emb.shape[1]
             hidden_f = hidden.reshape(B * num_frames, S // num_frames, D)
             hidden = mod_rows(hidden_f, scale.reshape(B * num_frames, D),
-                              shift.reshape(B * num_frames, D)).reshape(B, S, D)
+                              shift.reshape(B * num_frames, D))
+            if isinstance(hidden, tuple):  # emit_q8: (xq, per-token scale)
+                hidden = (hidden[0].reshape(B, S, D), hidden[1].reshape(B, S))
+            else:
+                hidden = hidden.reshape(B, S, D)
             gate = gate[:, :, None, :]  # [B, F, 1, D] — applied frame-blocked
             if self.modulate_enc:
                 txt = nn.silu(temb.astype(jnp.float32)).astype(self.dtype) @ kernel[:, 3 * dim :] \
@@ -175,6 +187,26 @@ def apply_gate(x: jnp.ndarray, gate: jnp.ndarray) -> jnp.ndarray:
         y = x.reshape(B, F, S // F, D).astype(jnp.float32) * gate.astype(jnp.float32)
         return y.reshape(B, S, D)
     return x.astype(jnp.float32) * gate.astype(jnp.float32)
+
+
+def gate_residual_add(base: jnp.ndarray, y: jnp.ndarray, gate: jnp.ndarray,
+                      fused: bool = False) -> jnp.ndarray:
+    """`base + gate * y` (f32 math, base.dtype result). `fused=True` routes
+    through the one-pass Pallas kernel (ops/adaln.gated_residual) — the XLA
+    lowering materializes the f32 gate broadcast to HBM. Inference-only
+    (no VJP); wired from the model's `quant` serving flag."""
+    if fused:
+        from orv_tpu.ops.adaln import gated_residual
+
+        B, S, D = base.shape
+        if gate.ndim == 4:
+            F = gate.shape[1]
+            out = gated_residual(base.reshape(B * F, S // F, D),
+                                 y.reshape(B * F, S // F, D),
+                                 gate.reshape(B * F, D))
+            return out.reshape(B, S, D)
+        return gated_residual(base, y, gate.reshape(B, D))
+    return base + apply_gate(y, gate).astype(base.dtype)
 
 
 class AdaLayerNormOut(nn.Module):
@@ -219,6 +251,25 @@ class AdaLayerNormOut(nn.Module):
         return y.astype(x.dtype)
 
 
+def quantize_tokens(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-token int8 activation quantization (the same math `Int8Dense`
+    applies to a bf16 input): returns (xq int8 [..., D], scale f32 [...])
+    with scale = absmax/127."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-6)
+    xq = jnp.round(xf * (127.0 / amax[..., None])).astype(jnp.int8)
+    return xq, amax * (1.0 / 127.0)
+
+
+def concat_q8(a, b) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sequence-concatenate two token streams into one pre-quantized
+    (xq, scale) pair; bf16 inputs are quantized first."""
+    aq, ascale = a if isinstance(a, tuple) else quantize_tokens(a)
+    bq, bscale = b if isinstance(b, tuple) else quantize_tokens(b)
+    return (jnp.concatenate([aq, bq], axis=1),
+            jnp.concatenate([ascale, bscale], axis=1))
+
+
 class Int8Dense(nn.Module):
     """W8A8 dynamically-quantized linear for inference.
 
@@ -239,18 +290,27 @@ class Int8Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        in_features = x.shape[-1]
+        if isinstance(x, tuple):
+            # pre-quantized (xq int8, xscale f32 per token) — emitted by the
+            # fused adaLN kernel (ops/adaln.modulate_norm_q8), skipping the
+            # separate amax + round passes over the activation
+            xq, xscale = x
+            in_features = xq.shape[-1]
+            scale_last = xscale[..., None]
+        else:
+            in_features = x.shape[-1]
+            xf = x.astype(jnp.float32)
+            amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6)
+            xq = jnp.round(xf * (127.0 / amax)).astype(jnp.int8)
+            scale_last = amax * (1.0 / 127.0)
         kq = self.param(
             "kernel_q8", nn.initializers.zeros, (in_features, self.features), jnp.int8
         )
         ks = self.param("kernel_scale", nn.initializers.ones, (self.features,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6)
-        xq = jnp.round(xf * (127.0 / amax)).astype(jnp.int8)
         y = jax.lax.dot_general(
             xq, kq, (((xq.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         ).astype(jnp.float32)
-        y = y * (amax * (1.0 / 127.0)) * ks
+        y = y * scale_last * ks
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + b.astype(jnp.float32)
@@ -281,8 +341,14 @@ class JointAttention(nn.Module):
     def __call__(self, hidden, enc=None, rope=None):
         inner = self.heads * self.head_dim
         text_len = 0 if enc is None else enc.shape[1]
-        x = hidden if enc is None else jnp.concatenate([enc, hidden], axis=1)
-        B, S, _ = x.shape
+        if isinstance(hidden, tuple):
+            # pre-quantized video stream from the fused adaLN kernel; the
+            # (short) text stream quantizes here and concatenates in int8
+            x = hidden if enc is None else concat_q8(enc, hidden)
+            B, S, _ = x[0].shape
+        else:
+            x = hidden if enc is None else jnp.concatenate([enc, hidden], axis=1)
+            B, S, _ = x.shape
 
         if self.quant:
             dense = lambda name: Int8Dense(
@@ -395,9 +461,11 @@ class DiTBlock(nn.Module):
     def __call__(self, hidden, enc, temb, rope=None, action_emb=None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         norm1 = AdaLNZero(self.time_embed_dim, self.dim, self.modulate_enc,
-                          self.norm_eps, fused=self.quant, name="norm1", **kw)
+                          self.norm_eps, fused=self.quant, emit_q8=self.quant,
+                          name="norm1", **kw)
         norm2 = AdaLNZero(self.time_embed_dim, self.dim, self.modulate_enc,
-                          self.norm_eps, fused=self.quant, name="norm2", **kw)
+                          self.norm_eps, fused=self.quant, emit_q8=self.quant,
+                          name="norm2", **kw)
         attn = JointAttention(self.heads, self.head_dim, self.qk_norm,
                               self.attention_bias, True, self.attn_impl,
                               quant=self.quant, sp_mesh=self.sp_mesh, name="attn1", **kw)
@@ -405,19 +473,22 @@ class DiTBlock(nn.Module):
 
         n_hidden, n_enc, gate, enc_gate = norm1(hidden, enc, temb, action_emb)
         attn_h, attn_e = attn(n_hidden, n_enc if self.modulate_enc else None, rope)
-        hidden = hidden + apply_gate(attn_h, gate).astype(hidden.dtype)
+        hidden = gate_residual_add(hidden, attn_h, gate, fused=self.quant)
         if self.modulate_enc:
-            enc = enc + apply_gate(attn_e, enc_gate).astype(enc.dtype)
+            enc = gate_residual_add(enc, attn_e, enc_gate, fused=self.quant)
 
         n_hidden, n_enc, gate_ff, enc_gate_ff = norm2(hidden, enc, temb, action_emb)
         if not self.modulate_enc:
             ff_out = ff(n_hidden)
-            hidden = hidden + apply_gate(ff_out, gate_ff).astype(hidden.dtype)
+            hidden = gate_residual_add(hidden, ff_out, gate_ff, fused=self.quant)
         else:
             text_len = enc.shape[1]
-            ff_out = ff(jnp.concatenate([n_enc, n_hidden], axis=1))
-            hidden = hidden + apply_gate(ff_out[:, text_len:], gate_ff).astype(hidden.dtype)
-            enc = enc + apply_gate(ff_out[:, :text_len], enc_gate_ff).astype(enc.dtype)
+            if isinstance(n_hidden, tuple):
+                ff_out = ff(concat_q8(n_enc, n_hidden))
+            else:
+                ff_out = ff(jnp.concatenate([n_enc, n_hidden], axis=1))
+            hidden = gate_residual_add(hidden, ff_out[:, text_len:], gate_ff, fused=self.quant)
+            enc = gate_residual_add(enc, ff_out[:, :text_len], enc_gate_ff, fused=self.quant)
         return hidden, enc
 
 
@@ -462,7 +533,7 @@ class MVBlock(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out",
         )(attn_h)
         attn_h = rearrange(attn_h, "(b f) (v s) d -> (b v) (f s) d", v=n_view, f=n_frame)
-        return hidden + apply_gate(attn_h, gate).astype(hidden.dtype)
+        return gate_residual_add(hidden, attn_h, gate, fused=self.quant)
 
 
 class PatchEmbed(nn.Module):

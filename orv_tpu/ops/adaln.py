@@ -29,6 +29,23 @@ from jax.experimental.pallas import tpu as pltpu
 from orv_tpu.ops.attention import _interpret
 
 
+def _split_s(S: int, block_s: int):
+    """Split S into nblocks near-equal 8-aligned blocks, minimizing padding.
+
+    Capping at block_s and padding S up to a multiple can waste whole rows
+    (flagship S=600 at block 512 -> 2x304 = pad 8, an extra 30MB pad
+    materialization per call); searching a few split counts finds exact
+    divisions when they exist (600 -> 3x200, zero pad)."""
+    s8 = max(8, pl.cdiv(S, 8) * 8)
+    n0 = pl.cdiv(s8, block_s)
+    cand = []
+    for n in range(n0, n0 + 4):
+        bs = pl.cdiv(pl.cdiv(s8, n), 8) * 8
+        cand.append((n * bs - s8, -bs, n, bs))
+    _, _, nblocks, bs = min(cand)
+    return nblocks, bs, nblocks * bs
+
+
 def _kernel(x_ref, scale_ref, shift_ref, ns_ref, nb_ref, o_ref, *, eps):
     x = x_ref[0].astype(jnp.float32)  # [bs, D]
     mean = jnp.mean(x, axis=-1, keepdims=True)
@@ -46,14 +63,7 @@ def modulate_norm(x, scale, shift, norm_scale, norm_bias, eps: float = 1e-5,
     Equivalent to `_layer_norm(x, ns, nb, eps) * (1+scale[:,None]) +
     shift[:,None]` with f32 math and a bf16 result, in one fused pass."""
     R, S, D = x.shape
-    # pick the block split that minimizes padding: capping at block_s and
-    # padding S up to a multiple of it can waste whole blocks (flagship
-    # S=600 -> pad 1024 at block 512 = 41% dead rows); instead split S into
-    # ceil(S/block_s) near-equal 8-aligned blocks (600 -> 2x304, 1.3% pad)
-    s8 = max(8, pl.cdiv(S, 8) * 8)
-    nblocks = pl.cdiv(s8, block_s)
-    block_s = pl.cdiv(pl.cdiv(s8, nblocks), 8) * 8
-    S_pad = nblocks * block_s
+    nblocks, block_s, S_pad = _split_s(S, block_s)
     if S_pad != S:
         x = jnp.pad(x, ((0, 0), (0, S_pad - S), (0, 0)))
     ns = jnp.broadcast_to(norm_scale.astype(jnp.float32)[None], (1, D))
@@ -75,4 +85,103 @@ def modulate_norm(x, scale, shift, norm_scale, norm_bias, eps: float = 1e-5,
         ),
         interpret=_interpret(),
     )(x, scale[:, None, :], shift[:, None, :], ns[None], nb[None])
+    return out[:, :S]
+
+
+def _kernel_q8(x_ref, scale_ref, shift_ref, ns_ref, nb_ref, oq_ref, os_ref,
+               *, eps):
+    x = x_ref[0].astype(jnp.float32)  # [bs, D]
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    y = y * ns_ref[0].astype(jnp.float32) + nb_ref[0].astype(jnp.float32)
+    y = y * (1.0 + scale_ref[0].astype(jnp.float32)) + shift_ref[0].astype(jnp.float32)
+    amax = jnp.maximum(jnp.max(jnp.abs(y), axis=-1, keepdims=True), 1e-6)
+    oq_ref[0] = jnp.round(y * (127.0 / amax)).astype(jnp.int8)
+    os_ref[0] = (amax * (1.0 / 127.0)).astype(jnp.float32)  # [bs, 1]
+
+
+def modulate_norm_q8(x, scale, shift, norm_scale, norm_bias,
+                     eps: float = 1e-5, block_s: int = 512):
+    """Like `modulate_norm` but emits the W8A8 activation quantization
+    directly: returns (xq int8 [R, S, D], xscale f32 [R, S]) with
+    xscale = per-token absmax/127 — exactly what `Int8Dense` computes from
+    a bf16 input. In the serving DiT block the adaLN output feeds ONLY
+    int8 projections (attention to_q/k/v, FF net_0_proj), so emitting int8
+    here removes the separate per-token amax pass + round pass over the
+    [S, D] activation (~90MB of HBM traffic per norm at the flagship
+    shape, 60 norms/step). Inference-only (no VJP)."""
+    R, S, D = x.shape
+    nblocks, block_s, S_pad = _split_s(S, block_s)
+    if S_pad != S:
+        x = jnp.pad(x, ((0, 0), (0, S_pad - S), (0, 0)))
+    ns = jnp.broadcast_to(norm_scale.astype(jnp.float32)[None], (1, D))
+    nb = jnp.broadcast_to(norm_bias.astype(jnp.float32)[None], (1, D))
+    xq, xs = pl.pallas_call(
+        functools.partial(_kernel_q8, eps=float(eps)),
+        grid=(R, nblocks),
+        in_specs=[
+            pl.BlockSpec((1, block_s, D), lambda r, si: (r, si, 0)),
+            pl.BlockSpec((1, 1, D), lambda r, si: (r, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda r, si: (r, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda r, si: (0, 0, 0)),
+            pl.BlockSpec((1, 1, D), lambda r, si: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_s, D), lambda r, si: (r, si, 0)),
+            # the per-token scale emits as [R, S, 1] — a 2D [R, S] output
+            # block (1, block_s) would violate the TPU lowering's
+            # last-dim-divisible-by-128 rule
+            pl.BlockSpec((1, block_s, 1), lambda r, si: (r, si, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((R, S_pad, D), jnp.int8),
+            jax.ShapeDtypeStruct((R, S_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(x, scale[:, None, :], shift[:, None, :], ns[None], nb[None])
+    return xq[:, :S], xs[:, :S, 0]
+
+
+def _gate_kernel(x_ref, y_ref, g_ref, o_ref):
+    x = x_ref[0].astype(jnp.float32)
+    y = y_ref[0].astype(jnp.float32)
+    o_ref[0] = (x + y * g_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def gated_residual(x, y, gate, block_s: int = 512):
+    """x [R, S, D] + gate [R, D] · y [R, S, D] in one fused pass.
+
+    The adaLN-Zero gated residual (`hidden + gate * attn_out`, reference
+    CogVideoXBlock forward, cogvideox_control.py:394-445) with a per-frame
+    gate lowers in XLA to a *materialized* f32 [R, S, D] broadcast of the
+    gate (~60MB at the flagship shape) that the residual-add fusion then
+    re-reads — ~8 ms/step of pure HBM traffic across 60 gate applications.
+    This kernel keeps the broadcast in VMEM: reads x and y once, writes
+    the result once, f32 math throughout. Inference-only (no VJP); wired
+    behind the model's `quant` serving flag like `modulate_norm`."""
+    R, S, D = x.shape
+    nblocks, block_s, S_pad = _split_s(S, block_s)
+    if S_pad != S:
+        pad = ((0, 0), (0, S_pad - S), (0, 0))
+        x = jnp.pad(x, pad)
+        y = jnp.pad(y, pad)
+    out = pl.pallas_call(
+        _gate_kernel,
+        grid=(R, nblocks),
+        in_specs=[
+            pl.BlockSpec((1, block_s, D), lambda r, si: (r, si, 0)),
+            pl.BlockSpec((1, block_s, D), lambda r, si: (r, si, 0)),
+            pl.BlockSpec((1, 1, D), lambda r, si: (r, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_s, D), lambda r, si: (r, si, 0)),
+        out_shape=jax.ShapeDtypeStruct((R, S_pad, D), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(x, y, gate[:, None, :])
     return out[:, :S]

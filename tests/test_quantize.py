@@ -133,3 +133,58 @@ def test_fused_adaln_matches_xla():
     assert got.shape == ref.shape and got.dtype == ref.dtype
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref, np.float32), atol=0.06, rtol=0.05)
+
+
+def test_modulate_norm_q8_matches_separate_quantize():
+    """modulate_norm_q8 (adaLN kernel emitting int8 + per-token scale) must
+    match modulate_norm followed by Int8Dense's activation quantization up
+    to the one-rounding-step difference (the fused kernel quantizes the f32
+    modulated value; the two-step path quantizes after a bf16 round)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orv_tpu.models.layers import quantize_tokens
+    from orv_tpu.ops.adaln import modulate_norm, modulate_norm_q8
+
+    R, S, D = 4, 50, 256
+    k = jax.random.PRNGKey
+    x = (jax.random.normal(k(0), (R, S, D)) * 2.0).astype(jnp.bfloat16)
+    scale = jax.random.normal(k(1), (R, D)).astype(jnp.bfloat16)
+    shift = jax.random.normal(k(2), (R, D)).astype(jnp.bfloat16)
+    ns = jax.random.normal(k(3), (D,)) * 0.1 + 1.0
+    nb = jax.random.normal(k(4), (D,)) * 0.1
+
+    xq, xs = modulate_norm_q8(x, scale, shift, ns, nb)
+    assert xq.shape == (R, S, D) and xq.dtype == jnp.int8
+    assert xs.shape == (R, S) and xs.dtype == jnp.float32
+    ref_q, ref_s = quantize_tokens(modulate_norm(x, scale, shift, ns, nb))
+    # dequantized values must agree within int8 step + bf16 rounding
+    got = np.asarray(xq, np.float32) * np.asarray(xs)[..., None]
+    ref = np.asarray(ref_q, np.float32) * np.asarray(ref_s)[..., None]
+    np.testing.assert_allclose(got, ref, atol=0.2, rtol=0.1)
+
+
+def test_fused_gated_residual_matches_xla():
+    """gate_residual_add(fused=True) (one-pass Pallas x + gate·y, serving
+    path) must match the XLA lowering within bf16 rounding — both the
+    per-frame [B,F,1,D] and the global [B,1,D] gate forms."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orv_tpu.models.layers import apply_gate, gate_residual_add
+
+    B, F, P, D = 2, 5, 60, 256
+    S = F * P
+    k = jax.random.PRNGKey
+    base = jax.random.normal(k(0), (B, S, D)).astype(jnp.bfloat16)
+    y = jax.random.normal(k(1), (B, S, D)).astype(jnp.bfloat16)
+    for gate_shape in [(B, F, 1, D), (B, 1, D)]:
+        gate = (jax.random.normal(k(2), gate_shape) * 0.5).astype(jnp.float32)
+        got = gate_residual_add(base, y, gate, fused=True)
+        ref = base + apply_gate(y, gate).astype(base.dtype)
+        assert got.shape == ref.shape and got.dtype == ref.dtype
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=0.06, rtol=0.05)
