@@ -155,7 +155,16 @@ class ControlDiT(nn.Module):
         image_rotary_emb_view: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         num_views: int = 1,
         deterministic: bool = True,
+        control_cache: Optional[jnp.ndarray] = None,
+        controls_only: bool = False,
     ):
+        # control_cache / controls_only: the visual-control patch embeds
+        # depend only on (depths, labels) — not the denoised latents or the
+        # timestep — so a sampler scanning 50 steps can compute them ONCE
+        # (controls_only=True returns the concatenated control embeds and
+        # skips the block stack) and feed them back per step via
+        # control_cache (~5 ms/step at the flagship shape). The reference
+        # re-embeds controls every step (cogvideox_control.py:827-858).
         c = self.config
         inner_dim = c.inner_dim
 
@@ -233,27 +242,34 @@ class ControlDiT(nn.Module):
 
         # 4. visual-control injection (shared patch embed, zero-init combine)
         if c.visual_guidance:
-            controls = []
-            for ctrl in (depths, labels):
-                if ctrl is None:
-                    continue
-                if num_views > 1:
-                    ctrl = rearrange(ctrl, "b (v f) c h w -> (b v) f c h w", v=num_views)
-                ctrl_cl = rearrange(ctrl, "b f c h w -> b f h w c").astype(self.dtype)
-                ctrl_embeds = patch_embed(raw_text, ctrl_cl)
-                controls.append(ctrl_embeds[:, text_len:])
-            if controls:
-                if len(controls) != c.num_control_keys:
-                    raise ValueError(
-                        f"got {len(controls)} controls but num_control_keys={c.num_control_keys}"
-                    )
-                controls_cat = jnp.concatenate(controls, axis=-1)
+            controls_cat = control_cache
+            if controls_cat is None:
+                controls = []
+                for ctrl in (depths, labels):
+                    if ctrl is None:
+                        continue
+                    if num_views > 1:
+                        ctrl = rearrange(ctrl, "b (v f) c h w -> (b v) f c h w", v=num_views)
+                    ctrl_cl = rearrange(ctrl, "b f c h w -> b f h w c").astype(self.dtype)
+                    ctrl_embeds = patch_embed(raw_text, ctrl_cl)
+                    controls.append(ctrl_embeds[:, text_len:])
+                if controls:
+                    if len(controls) != c.num_control_keys:
+                        raise ValueError(
+                            f"got {len(controls)} controls but num_control_keys={c.num_control_keys}"
+                        )
+                    controls_cat = jnp.concatenate(controls, axis=-1)
+            if controls_only:
+                return controls_cat
+            if controls_cat is not None:
                 combined = nn.Dense(
                     inner_dim, kernel_init=nn.initializers.zeros,
                     bias_init=nn.initializers.zeros, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="initial_combine_linear",
                 )(jnp.tile(hidden, (1, 1, c.num_control_keys)) + controls_cat)
                 hidden = hidden + combined
+        elif controls_only:
+            return None
 
         # 5. block stack (scanned; optional per-block remat)
         cell = _BlockCell

@@ -269,10 +269,69 @@ class Downsample3D(nn.Module):
         )(x)
 
 
+class _PhaseUpConv(nn.Module):
+    """Nearest-2x-spatial-upsample + 3x3 conv, computed WITHOUT the
+    upsample: on a nearest-upsampled grid every 3x3 window touches at most
+    2x2 distinct source pixels, so the conv decomposes exactly into four
+    phase convs with collapsed 2x2 kernels at the LOW resolution plus a
+    pixel interleave — 16 taps/low-res pixel instead of 9 taps x 4
+    high-res pixels = 2.25x fewer MACs, and the 4x-size upsampled
+    intermediate never materializes. Phase (a, b) of the output,
+    out[2i+a, 2j+b], sees source rows {i-1, i} (a=0, weights
+    [w0, w1+w2]) or {i, i+1} (a=1, [w0+w1, w2]) and likewise columns;
+    boundary zero-pads mirror the original SAME padding. Param layout
+    matches nn.Conv's (1,3,3) kernel exactly ([1,3,3,I,O] + bias) so torch
+    checkpoint mapping and orbax trees are unaffected."""
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, T, H, W, Cin = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (1, 3, 3, Cin, self.features), self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype).astype(self.dtype)
+        k = kernel[0]  # [3, 3, I, O]; collapse in f32, cast once
+        rows = {0: jnp.stack([k[0], k[1] + k[2]], 0),
+                1: jnp.stack([k[0] + k[1], k[2]], 0)}  # [2, 3, I, O]
+
+        def cols(r, b):
+            if b == 0:
+                return jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], 1)
+            return jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], 1)  # [2, 2, I, O]
+
+        x2 = x.reshape(B * T, H, W, Cin)
+        dn = jax.lax.conv_dimension_numbers(
+            x2.shape, (2, 2, Cin, self.features), ("NHWC", "HWIO", "NHWC"))
+        phases = []
+        for a in (0, 1):
+            for b in (0, 1):
+                kab = cols(rows[a], b).astype(self.dtype)
+                y = jax.lax.conv_general_dilated(
+                    x2, kab, (1, 1), [(1 - a, a), (1 - b, b)],
+                    dimension_numbers=dn)
+                phases.append(y)
+        y = jnp.stack(phases, axis=-2)  # [BT, H, W, (a b), O]
+        y = y.reshape(B * T, H, W, 2, 2, self.features)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, T, 2 * H, 2 * W, self.features)
+        return y + bias
+
+
 class Upsample3D(nn.Module):
     """Nearest 2x spatial upsample + 3x3 conv; with compress_time, the
     first frame upsamples spatially only and the rest also duplicate in
-    time (odd-length convention)."""
+    time (odd-length convention).
+
+    Hot path runs the phase-decomposed conv (_PhaseUpConv) and applies the
+    temporal duplication AFTER it — the conv has no temporal taps, so
+    nearest frame duplication commutes with it exactly, halving the conv
+    work again on compress_time stages. `ORV_TPU_UPSAMPLE_PHASE=0`
+    restores the literal upsample-then-conv lowering."""
 
     channels: int
     compress_time: bool = False
@@ -281,11 +340,25 @@ class Upsample3D(nn.Module):
 
     @nn.compact
     def __call__(self, x, first_chunk: bool = True):
+        import os
+
         B, T, H, W, C = x.shape
+        phase = os.environ.get("ORV_TPU_UPSAMPLE_PHASE", "1") != "0"
 
         def up(z, t_scale):
             b, t, h, w, c = z.shape
             return jax.image.resize(z, (b, t * t_scale, h * 2, w * 2, c), method="nearest")
+
+        if phase:
+            y = _PhaseUpConv(self.channels, dtype=self.dtype,
+                             param_dtype=self.param_dtype, name="conv")(x)
+            rep = lambda z: jnp.repeat(z, 2, axis=1)
+            if self.compress_time:
+                if first_chunk and T > 1 and T % 2 == 1:
+                    y = jnp.concatenate([y[:, :1], rep(y[:, 1:])], axis=1)
+                elif T > 1 or not first_chunk:
+                    y = rep(y)
+            return y
 
         if self.compress_time:
             if first_chunk and T > 1 and T % 2 == 1:

@@ -181,6 +181,22 @@ def make_sampler(
             prompt_in, image_in = prompt_embeds, image_latents
             actions_in, depths_in, labels_in = actions, depths, labels
 
+        # the visual-control patch embeds depend only on (depths, labels) —
+        # compute them ONCE and feed the cache to all scan steps instead of
+        # re-embedding the controls 50x (the model's controls_only path
+        # skips the block stack, so this costs a fraction of one step)
+        control_cache = None
+        if depths_in is not None or labels_in is not None:
+            probe = jnp.concatenate([latents, latents], axis=0) if do_cfg else latents
+            probe = jnp.concatenate([probe.astype(image_in.dtype), image_in], axis=2)
+            t_probe = jnp.broadcast_to(ts_arr[0], (probe.shape[0],))
+            control_cache = model_apply(
+                params, probe, prompt_in, t_probe,
+                actions=actions_in, depths=depths_in, labels=labels_in,
+                image_rotary_emb=image_rotary_emb, num_views=num_views,
+                deterministic=True, controls_only=True,
+            )
+
         def body(carry, inp):
             lat, old = carry
             t, t_back, t_prev, ho, g, step_rng = inp
@@ -189,7 +205,10 @@ def make_sampler(
             t_b = jnp.broadcast_to(t, (model_in.shape[0],))
             v_pred, _, _ = model_apply(
                 params, model_in.astype(image_in.dtype), prompt_in, t_b,
-                actions=actions_in, depths=depths_in, labels=labels_in,
+                actions=actions_in,
+                depths=None if control_cache is not None else depths_in,
+                labels=None if control_cache is not None else labels_in,
+                control_cache=control_cache,
                 image_rotary_emb=image_rotary_emb, num_views=num_views,
                 deterministic=True,
             )

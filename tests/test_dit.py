@@ -64,6 +64,31 @@ def test_visual_guidance_zero_init_noop():
     np.testing.assert_allclose(np.asarray(with_ctrl), np.asarray(without), atol=1e-6)
 
 
+def test_control_cache_matches_direct():
+    """controls_only + control_cache (the sampler's hoist of the
+    step-invariant control patch embeds out of the denoise scan) must
+    reproduce the direct depths/labels path bit-for-bit. To see a nonzero
+    injection, perturb the zero-init combine kernel."""
+    cfg = DiTConfig(in_channels=32, out_channels=16, visual_guidance=True,
+                    num_control_keys=2, modulate_encoder_hidden_states=True, **TINY)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    x, enc, t = _data()
+    d = jax.random.normal(jax.random.PRNGKey(3), x.shape)
+    l = jax.random.normal(jax.random.PRNGKey(4), x.shape)
+    params = model.init(jax.random.PRNGKey(0), x, enc, t, depths=d, labels=l)
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: v + 0.01 if "initial_combine_linear" in str(p) and v.ndim == 2 else v,
+        params)
+    cache = model.apply(params, x, enc, t, depths=d, labels=l, controls_only=True)
+    assert cache is not None and cache.shape[-1] == 2 * cfg.inner_dim
+    direct, _, _ = model.apply(params, x, enc, t, depths=d, labels=l)
+    cached, _, _ = model.apply(params, x, enc, t, control_cache=cache)
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(direct), atol=0)
+    # and the injection is actually live (perturbed kernel => nonzero)
+    without, _, _ = model.apply(params, x, enc, t)
+    assert float(np.abs(np.asarray(direct) - np.asarray(without)).max()) > 0
+
+
 def test_control_count_mismatch_raises():
     cfg = DiTConfig(in_channels=32, out_channels=16, visual_guidance=True,
                     num_control_keys=2, **TINY)

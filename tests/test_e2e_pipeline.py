@@ -76,7 +76,11 @@ def test_train_then_eval(pipeline_root, tmp_path):
         "transformer.in_channels=32", "transformer.out_channels=16",
         "transformer.pretrained_name_or_path=null",
         "train.max_train_steps=2", "train.checkpointing_steps=10",
-        "train.train_batch_size=2", "train.gradient_accumulation_steps=1",
+        "train.train_batch_size=4", "train.gradient_accumulation_steps=1",
+        # pin the full (dp, fsdp, tp) mesh over the 8 virtual CPU devices:
+        # the default dp=-1 grabs all 8 for dp, which a small batch cannot
+        # shard over (batch shards over dp x fsdp = 4)
+        "train.mesh.dp=2", "train.mesh.fsdp=2", "train.mesh.tp=2",
         "train.lr_warmup_steps=0", "train.log_every=1",
         "train.validation_steps=100", "inference.num_inference_steps=2",
         f"train.output_path={tmp_path}", "train.output_dir=run",

@@ -150,3 +150,34 @@ def test_decode_chunked_fused_matches_streaming():
     a = decode_chunked(vae, p, z, chunk_latent_frames=2)
     b = decode_chunked(vae, p, z, chunk_latent_frames=2, fused=True)
     assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+
+def test_upsample_phase_decomposition_matches_literal():
+    """Upsample3D's phase-decomposed conv (no upsampled intermediate, 2.25x
+    fewer MACs) must equal the literal nearest-upsample-then-conv lowering
+    on every temporal branch (odd first chunk / streaming chunk / single
+    frame), up to f32-collapse-vs-f32-accumulate rounding."""
+    import os
+
+    from orv_tpu.models.vae import Upsample3D
+
+    key = jax.random.PRNGKey
+    for compress_time, T, first_chunk in [
+        (True, 5, True),   # odd first chunk: first frame x1, rest x2
+        (True, 4, False),  # streaming chunk: all frames x2
+        (True, 1, True),   # single first frame: spatial only
+        (True, 1, False),  # single streaming frame: x2
+        (False, 3, True),  # spatial-only upsampler
+    ]:
+        m = Upsample3D(12, compress_time=compress_time, dtype=jnp.float32)
+        x = jax.random.normal(key(T + 7 * compress_time), (1, T, 8, 10, 6))
+        os.environ["ORV_TPU_UPSAMPLE_PHASE"] = "0"
+        try:
+            params = m.init(key(0), x, first_chunk=first_chunk)
+            ref = m.apply(params, x, first_chunk=first_chunk)
+        finally:
+            os.environ.pop("ORV_TPU_UPSAMPLE_PHASE", None)
+        got = m.apply(params, x, first_chunk=first_chunk)
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
