@@ -298,13 +298,20 @@ _DEVICE_STR = None
 
 
 def _device_str() -> str:
-    # backend init goes through the tunnel and can itself fail (libtpu
-    # version skew) — never let the emit path die on it
+    # backend init goes through the tunnel and can fail OR HANG (observed
+    # 2026-08-17: a dead tunnel leaves init in a retry loop that no
+    # exception and no SIGALRM interrupts) — so the parent process must
+    # never call jax.devices() itself. Probe in a killable subprocess.
     global _DEVICE_STR
     if _DEVICE_STR is None:
         try:
-            _DEVICE_STR = str(jax.devices()[0])
-        except Exception as e:  # noqa: BLE001
+            out = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(jax.devices()[0])"],
+                capture_output=True, text=True, timeout=45.0,
+            )
+            _DEVICE_STR = out.stdout.strip().splitlines()[-1] if out.returncode == 0 and out.stdout.strip() else "<unavailable: probe failed>"
+        except Exception as e:  # noqa: BLE001 — incl. TimeoutExpired on a hung tunnel
             _DEVICE_STR = f"<unavailable: {type(e).__name__}>"
     return _DEVICE_STR
 
@@ -430,13 +437,13 @@ def main():
     cache = _load_cache()
     results: dict = {}
     incomplete = ["sampler", "vae", "train"]
-    # startup emit: if a previous quiet window populated the cache, a
-    # parseable (all-stale) line exists within seconds of process start
-    _emit(results, cache, incomplete)
 
     # hard backstop: even if a phase subprocess wedges past its own timeout
     # (tunnel pathology), the global budget still ends the run with a final
-    # best-so-far emit instead of relying on the driver's outer kill
+    # best-so-far emit instead of relying on the driver's outer kill.
+    # Armed BEFORE the startup emit: nothing in this process may run
+    # un-alarmed (the startup emit once hung in jax.devices() on a dead
+    # tunnel and produced rc=124 with no output).
     import signal
 
     def _deadline(_sig, _frm):
@@ -456,6 +463,10 @@ def main():
 
     signal.signal(signal.SIGALRM, _deadline)
     signal.alarm(int(GLOBAL_BUDGET_S + 30))
+
+    # startup emit: if a previous quiet window populated the cache, a
+    # parseable (all-stale) line exists within seconds of process start
+    _emit(results, cache, incomplete)
 
     for phase, kwargs in [
         ("sampler", dict(max_attempts=3, first_timeout=900.0)),
