@@ -86,8 +86,8 @@ class AdaLNZero(nn.Module):
     modulate_enc: bool = False
     eps: float = 1e-5
     # fused=True routes the video-stream norm+modulate through the Pallas
-    # one-pass kernel (ops/adaln.py) — inference-only (no VJP), wired from
-    # the model's int8-serving `quant` flag
+    # one-pass kernel (ops/adaln.py, differentiable via custom VJP) — set
+    # from the model's `quant` flag or `_fused_adaln_ok()` (TPU backend)
     fused: bool = False
     # emit_q8=True (requires fused) makes the kernel emit the W8A8 per-token
     # int8 quantization directly: the video stream returns as a
@@ -175,6 +175,23 @@ class AdaLNZero(nn.Module):
             gate = gate[:, None, :]
 
         return hidden, enc, gate, enc_gate
+
+
+def _fused_adaln_ok() -> bool:
+    """Use the fused Pallas adaLN/gated-residual kernels on the TPU backend
+    (now differentiable via custom VJPs, so the bf16 training path uses
+    them too); XLA elsewhere — mirroring `ops.attention.attention`'s auto
+    dispatch so CPU test meshes never pay interpreter-mode Pallas.
+    `ORV_TPU_FUSED_ADALN=0` restores the XLA lowering everywhere;
+    `=force` enables it off-TPU too (interpreter-mode kernels, tests)."""
+    import os
+
+    v = os.environ.get("ORV_TPU_FUSED_ADALN", "1")
+    if v == "0":
+        return False
+    if v == "force":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def apply_gate(x: jnp.ndarray, gate: jnp.ndarray) -> jnp.ndarray:
@@ -460,11 +477,12 @@ class DiTBlock(nn.Module):
     @nn.compact
     def __call__(self, hidden, enc, temb, rope=None, action_emb=None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        fused = self.quant or _fused_adaln_ok()
         norm1 = AdaLNZero(self.time_embed_dim, self.dim, self.modulate_enc,
-                          self.norm_eps, fused=self.quant, emit_q8=self.quant,
+                          self.norm_eps, fused=fused, emit_q8=self.quant,
                           name="norm1", **kw)
         norm2 = AdaLNZero(self.time_embed_dim, self.dim, self.modulate_enc,
-                          self.norm_eps, fused=self.quant, emit_q8=self.quant,
+                          self.norm_eps, fused=fused, emit_q8=self.quant,
                           name="norm2", **kw)
         attn = JointAttention(self.heads, self.head_dim, self.qk_norm,
                               self.attention_bias, True, self.attn_impl,
@@ -473,22 +491,22 @@ class DiTBlock(nn.Module):
 
         n_hidden, n_enc, gate, enc_gate = norm1(hidden, enc, temb, action_emb)
         attn_h, attn_e = attn(n_hidden, n_enc if self.modulate_enc else None, rope)
-        hidden = gate_residual_add(hidden, attn_h, gate, fused=self.quant)
+        hidden = gate_residual_add(hidden, attn_h, gate, fused=fused)
         if self.modulate_enc:
-            enc = gate_residual_add(enc, attn_e, enc_gate, fused=self.quant)
+            enc = gate_residual_add(enc, attn_e, enc_gate, fused=fused)
 
         n_hidden, n_enc, gate_ff, enc_gate_ff = norm2(hidden, enc, temb, action_emb)
         if not self.modulate_enc:
             ff_out = ff(n_hidden)
-            hidden = gate_residual_add(hidden, ff_out, gate_ff, fused=self.quant)
+            hidden = gate_residual_add(hidden, ff_out, gate_ff, fused=fused)
         else:
             text_len = enc.shape[1]
             if isinstance(n_hidden, tuple):
                 ff_out = ff(concat_q8(n_enc, n_hidden))
             else:
                 ff_out = ff(jnp.concatenate([n_enc, n_hidden], axis=1))
-            hidden = gate_residual_add(hidden, ff_out[:, text_len:], gate_ff, fused=self.quant)
-            enc = gate_residual_add(enc, ff_out[:, :text_len], enc_gate_ff, fused=self.quant)
+            hidden = gate_residual_add(hidden, ff_out[:, text_len:], gate_ff, fused=fused)
+            enc = gate_residual_add(enc, ff_out[:, :text_len], enc_gate_ff, fused=fused)
         return hidden, enc
 
 
@@ -514,8 +532,9 @@ class MVBlock(nn.Module):
     @nn.compact
     def __call__(self, hidden, enc, temb, rope_view=None, n_view: int = 1, n_frame: int = 1):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        fused = self.quant or _fused_adaln_ok()
         norm1 = AdaLNZero(self.time_embed_dim, self.dim, self.modulate_enc,
-                          self.norm_eps, fused=self.quant, name="norm1", **kw)
+                          self.norm_eps, fused=fused, name="norm1", **kw)
         attn = JointAttention(self.heads, self.head_dim, True, self.attention_bias,
                               True, self.attn_impl, quant=self.quant, name="attn1", **kw)
         # dead-but-checkpointed params
@@ -533,7 +552,7 @@ class MVBlock(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, name="proj_out",
         )(attn_h)
         attn_h = rearrange(attn_h, "(b f) (v s) d -> (b v) (f s) d", v=n_view, f=n_frame)
-        return gate_residual_add(hidden, attn_h, gate, fused=self.quant)
+        return gate_residual_add(hidden, attn_h, gate, fused=fused)
 
 
 class PatchEmbed(nn.Module):

@@ -210,3 +210,51 @@ def test_remat_dots_policy_forward_matches():
     flat1 = jax.tree_util.tree_leaves(g1)
     for a, b in zip(flat0, flat1):
         assert float(jnp.max(jnp.abs(a - b))) < 1e-5
+
+
+def test_fused_adaln_train_path_matches_xla():
+    """With ORV_TPU_FUSED_ADALN=force the DiTBlock routes norms and gated
+    residuals through the Pallas kernels (interpret mode off-TPU) INCLUDING
+    their custom-VJP backward; loss and parameter gradients must match the
+    XLA lowering. Covers the per-frame (action) and global gate forms and
+    both adaLN regimes."""
+    import os
+
+    from orv_tpu.models.layers import DiTBlock
+
+    B, F, P, D = 2, 3, 16, 128
+    heads, head_dim = 2, 64
+    S, text = F * P, 8
+    k = jax.random.PRNGKey
+    hidden = jax.random.normal(k(0), (B, S, D), jnp.float32)
+    enc = jax.random.normal(k(1), (B, text, D), jnp.float32)
+    temb = jax.random.normal(k(2), (B, 32), jnp.float32)
+    action = jax.random.normal(k(3), (B, F, 32), jnp.float32)
+    ct_h = jax.random.normal(k(4), (B, S, D), jnp.float32)
+
+    for modulate_enc, act in [(True, action), (False, action), (True, None)]:
+        blk = DiTBlock(dim=D, heads=heads, head_dim=head_dim,
+                       time_embed_dim=32, modulate_enc=modulate_enc,
+                       dtype=jnp.float32)
+
+        def loss_fn(params):
+            h, e = blk.apply(params, hidden, enc, temb, action_emb=act)
+            return jnp.sum(h * ct_h) + jnp.sum(e)
+
+        os.environ["ORV_TPU_FUSED_ADALN"] = "0"
+        try:
+            params = blk.init(k(5), hidden, enc, temb, action_emb=act)
+            l_ref, g_ref = jax.value_and_grad(loss_fn)(params)
+        finally:
+            os.environ["ORV_TPU_FUSED_ADALN"] = "force"
+        try:
+            l_fus, g_fus = jax.value_and_grad(loss_fn)(params)
+        finally:
+            os.environ.pop("ORV_TPU_FUSED_ADALN", None)
+
+        assert abs(float(l_fus) - float(l_ref)) < 1e-3 * max(1.0, abs(float(l_ref)))
+        from jax.flatten_util import ravel_pytree
+        flat_r, _ = ravel_pytree(g_ref)
+        flat_f, _ = ravel_pytree(g_fus)
+        np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_r),
+                                   atol=5e-3, rtol=5e-3)

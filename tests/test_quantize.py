@@ -188,3 +188,68 @@ def test_fused_gated_residual_matches_xla():
         np.testing.assert_allclose(np.asarray(got, np.float32),
                                    np.asarray(ref, np.float32),
                                    atol=0.06, rtol=0.05)
+
+
+def test_fused_adaln_grads_match_xla():
+    """modulate_norm's custom VJP (fused Pallas backward) must match
+    jax.grad of the XLA lowering for every input: x, per-row scale/shift,
+    and the shared norm scale/bias. f32 end-to-end so the only error is
+    kernel math, not dtype rounding."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orv_tpu.models.layers import _layer_norm
+    from orv_tpu.ops.adaln import modulate_norm
+
+    R, S, D = 4, 37, 256
+    k = jax.random.PRNGKey
+    x = jax.random.normal(k(0), (R, S, D)) * 2.0
+    scale = jax.random.normal(k(1), (R, D))
+    shift = jax.random.normal(k(2), (R, D))
+    ns = jax.random.normal(k(3), (D,)) * 0.1 + 1.0
+    nb = jax.random.normal(k(4), (D,)) * 0.1
+    ct = jax.random.normal(k(5), (R, S, D))
+
+    def ref_fn(x, scale, shift, ns, nb):
+        out = (_layer_norm(x, ns, nb, 1e-5).astype(jnp.float32)
+               * (1.0 + scale[:, None, :]) + shift[:, None, :])
+        return jnp.sum(out * ct)
+
+    def fused_fn(x, scale, shift, ns, nb):
+        return jnp.sum(modulate_norm(x, scale, shift, ns, nb) * ct)
+
+    g_ref = jax.grad(ref_fn, argnums=(0, 1, 2, 3, 4))(x, scale, shift, ns, nb)
+    g_fus = jax.grad(fused_fn, argnums=(0, 1, 2, 3, 4))(x, scale, shift, ns, nb)
+    for name, a, b in zip(("dx", "dscale", "dshift", "dns", "dnb"), g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-4, rtol=2e-4, err_msg=name)
+
+
+def test_fused_gated_residual_grads_match_xla():
+    """gated_residual's custom VJP (fused dy/dgate backward) must match
+    jax.grad of the XLA lowering for x, y, and gate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from orv_tpu.ops.adaln import gated_residual
+
+    R, S, D = 6, 41, 256
+    k = jax.random.PRNGKey
+    x = jax.random.normal(k(0), (R, S, D))
+    y = jax.random.normal(k(1), (R, S, D))
+    gate = jax.random.normal(k(2), (R, D)) * 0.5
+    ct = jax.random.normal(k(3), (R, S, D))
+
+    def ref_fn(x, y, gate):
+        return jnp.sum((x + y * gate[:, None, :]) * ct)
+
+    def fused_fn(x, y, gate):
+        return jnp.sum(gated_residual(x, y, gate) * ct)
+
+    g_ref = jax.grad(ref_fn, argnums=(0, 1, 2))(x, y, gate)
+    g_fus = jax.grad(fused_fn, argnums=(0, 1, 2))(x, y, gate)
+    for name, a, b in zip(("dx", "dy", "dgate"), g_ref, g_fus):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-5, rtol=1e-5, err_msg=name)
