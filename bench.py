@@ -303,17 +303,20 @@ def _device_str() -> str:
     # exception and no SIGALRM interrupts) — so the parent process must
     # never call jax.devices() itself. Probe in a killable subprocess.
     global _DEVICE_STR
-    if _DEVICE_STR is None:
-        try:
-            out = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; print(jax.devices()[0])"],
-                capture_output=True, text=True, timeout=45.0,
-            )
-            _DEVICE_STR = out.stdout.strip().splitlines()[-1] if out.returncode == 0 and out.stdout.strip() else "<unavailable: probe failed>"
-        except Exception as e:  # noqa: BLE001 — incl. TimeoutExpired on a hung tunnel
-            _DEVICE_STR = f"<unavailable: {type(e).__name__}>"
-    return _DEVICE_STR
+    if _DEVICE_STR is not None:
+        return _DEVICE_STR
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0])"],
+            capture_output=True, text=True, timeout=45.0,
+        )
+        if out.returncode == 0 and out.stdout.strip():
+            _DEVICE_STR = out.stdout.strip().splitlines()[-1]  # cache success
+            return _DEVICE_STR
+        return "<unavailable: probe failed>"  # NOT cached: retry next emit
+    except Exception as e:  # noqa: BLE001 — incl. TimeoutExpired on a hung tunnel
+        return f"<unavailable: {type(e).__name__}>"  # NOT cached
 
 
 _EMITTED = 0

@@ -210,8 +210,9 @@ def gate_residual_add(base: jnp.ndarray, y: jnp.ndarray, gate: jnp.ndarray,
                       fused: bool = False) -> jnp.ndarray:
     """`base + gate * y` (f32 math, base.dtype result). `fused=True` routes
     through the one-pass Pallas kernel (ops/adaln.gated_residual) — the XLA
-    lowering materializes the f32 gate broadcast to HBM. Inference-only
-    (no VJP); wired from the model's `quant` serving flag."""
+    lowering materializes the f32 gate broadcast to HBM. Differentiable
+    (custom VJP in ops/adaln.py); wired from the model's `quant` flag or
+    `_fused_adaln_ok()` (TPU backend, training included)."""
     if fused:
         from orv_tpu.ops.adaln import gated_residual
 
@@ -316,10 +317,8 @@ class Int8Dense(nn.Module):
             scale_last = xscale[..., None]
         else:
             in_features = x.shape[-1]
-            xf = x.astype(jnp.float32)
-            amax = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True), 1e-6)
-            xq = jnp.round(xf * (127.0 / amax)).astype(jnp.int8)
-            scale_last = amax * (1.0 / 127.0)
+            xq, xscale = quantize_tokens(x)
+            scale_last = xscale[..., None]
         kq = self.param(
             "kernel_q8", nn.initializers.zeros, (in_features, self.features), jnp.int8
         )

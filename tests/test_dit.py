@@ -241,13 +241,14 @@ def test_fused_adaln_train_path_matches_xla():
             h, e = blk.apply(params, hidden, enc, temb, action_emb=act)
             return jnp.sum(h * ct_h) + jnp.sum(e)
 
-        os.environ["ORV_TPU_FUSED_ADALN"] = "0"
+        # one enclosing finally so an exception in EITHER phase can never
+        # leak the env var (='force' would flip every later test in the
+        # process onto interpreter-mode Pallas kernels)
         try:
+            os.environ["ORV_TPU_FUSED_ADALN"] = "0"
             params = blk.init(k(5), hidden, enc, temb, action_emb=act)
             l_ref, g_ref = jax.value_and_grad(loss_fn)(params)
-        finally:
             os.environ["ORV_TPU_FUSED_ADALN"] = "force"
-        try:
             l_fus, g_fus = jax.value_and_grad(loss_fn)(params)
         finally:
             os.environ.pop("ORV_TPU_FUSED_ADALN", None)
