@@ -64,7 +64,7 @@ CACHE_PATH = pathlib.Path(__file__).parent / ".bench_cache.json"
 
 # quiet-window sanity ceilings (~2x known-good): timings above these mean
 # the window was contended and the value is not representative
-SANE = {"sampler": 25.0, "vae": 4.0, "train": 1.0}
+SANE = {"sampler": 25.0, "vae": 4.0, "train": 1.0, "encode": 8.0}
 
 
 def _remaining() -> float:
@@ -174,6 +174,38 @@ def _bench_vae():
         vae_time = min(vae_time, time.time() - t0)
         if (i >= 3 and vae_time < 4.0) or time.time() > deadline:
             return vae_time
+
+
+def _bench_encode():
+    """Optional phase (ORV_TPU_BENCH_ENCODE=1): streaming chunked VAE encode
+    of a 49x320x480 clip — the offline-latent / raw-pixel-eval ingest cost
+    (reference frame-batched vae._encode, encode_dataset.py:793-927). Not in
+    the headline f/s (generation = sampler + decode); reported in detail."""
+    from orv_tpu.models.vae import CausalVAE, VAEConfig, encode_chunked
+
+    vae = CausalVAE(VAEConfig(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    video = jax.random.normal(jax.random.PRNGKey(7),
+                              (1, 3, NUM_FRAMES, HEIGHT, WIDTH), jnp.bfloat16)
+    vparams = jax.jit(lambda: vae.init(jax.random.PRNGKey(0), video[:, :, :1, :8, :8],
+                                       method=vae.encode))()
+    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    print(f"bench: compiling chunked VAE encode (chunk {chunk})...",
+          file=sys.stderr, flush=True)
+    run = lambda x: encode_chunked(vae, vparams, x, chunk_frames=chunk)
+    jax.block_until_ready(run(video))
+    best = float("inf")
+    deadline = time.time() + _trial_budget()
+    i = 0
+    while True:
+        i += 1
+        vv = video * (1.0 + i * 1e-6)  # vary inputs: the tunnel dedups
+        t0 = time.time()
+        out = run(vv)
+        float(out.sum())  # force materialization
+        best = min(best, time.time() - t0)
+        if (i >= 3 and best < SANE["encode"]) or time.time() > deadline:
+            break
+    return best
 
 
 def _bench_train():
@@ -362,6 +394,11 @@ def _emit(results: dict, cache: dict, incomplete: list) -> None:
         detail["stale"] = stale
     if incomplete:
         detail["incomplete"] = list(incomplete)
+    encode_s, encode_stale = get("encode", "vae_encode_s")
+    if encode_s is not None:
+        detail["vae_encode_s"] = round(encode_s, 3)
+        if encode_stale:
+            detail.setdefault("stale", []).append("encode")
     if train_s is not None:
         detail["train_step_s_1p4b_17f"] = round(train_s, 3)
         # 17-frame 480x320 clip -> 5*20*30 = 3000 video tokens + 226 text
@@ -416,7 +453,8 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
         except Exception as e:  # noqa: BLE001
             print(f"bench: {phase} attempt failed: {e}", file=sys.stderr, flush=True)
     if best is not None and best <= sane:
-        key = {"sampler": "sampler_s", "vae": "vae_decode_s", "train": "train_step_s"}[phase]
+        key = {"sampler": "sampler_s", "vae": "vae_decode_s", "train": "train_step_s",
+           "encode": "vae_encode_s"}[phase]
         if cache.get(key) is None or best < float(cache[key]):
             cache[key] = round(best, 4)
             _save_cache(cache)
@@ -424,7 +462,8 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
     # all windows were contended: prefer the cached quiet-window number
     # (reported stale by _emit) over a garbage figure — unless there is no
     # cache, in which case report the best we saw, honestly
-    key = {"sampler": "sampler_s", "vae": "vae_decode_s", "train": "train_step_s"}[phase]
+    key = {"sampler": "sampler_s", "vae": "vae_decode_s", "train": "train_step_s",
+           "encode": "vae_encode_s"}[phase]
     if cache.get(key) is not None:
         return None
     return best
@@ -433,7 +472,8 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--phase":
         phase = sys.argv[2]
-        fn = {"sampler": _bench_sampler, "vae": _bench_vae, "train": _bench_train}[phase]
+        fn = {"sampler": _bench_sampler, "vae": _bench_vae, "train": _bench_train,
+              "encode": _bench_encode}[phase]
         print(fn())
         return
 
@@ -479,11 +519,14 @@ def main():
         ("vae", dict(ladder=[(6,), (4,), (2,), (0,)], max_attempts=4,
                      first_timeout=1500.0)),
         ("train", dict(max_attempts=2, first_timeout=600.0)),
-    ]:
+    ] + ([("encode", dict(ladder=[(8,), (4,), (2,)], max_attempts=3,
+                          first_timeout=900.0))]
+         if os.environ.get("ORV_TPU_BENCH_ENCODE") == "1" else []):
         if _remaining() < 90.0:
             break
         val = _phase_with_retries(phase, cache, **kwargs)
-        key = {"sampler": "sampler_s", "vae": "vae_decode_s", "train": "train_step_s"}[phase]
+        key = {"sampler": "sampler_s", "vae": "vae_decode_s", "train": "train_step_s",
+           "encode": "vae_encode_s"}[phase]
         if val is not None or cache.get(key) is not None:
             # measured fresh, or a cached quiet-window number stands in
             # (stale-flagged by _emit); a phase that errored every attempt
