@@ -1,0 +1,67 @@
+"""Profile ONE chunked-VAE-decode dispatch on the TPU and print the top
+device-time fusions — the decode-side sibling of profile_step.py (same
+vm.trace recipe). Use it to see where the non-conv milliseconds go
+(GroupNorm passes, upsample interleaves, relayouts) before guessing at
+kernels.
+
+Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/profile_decode.py [chunk]
+"""
+
+import glob
+import gzip
+import json
+import sys
+import tempfile
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+def main():
+    sys.path.insert(0, "/root/repo")
+    from orv_tpu.models.vae import CausalVAE, VAEConfig, decode_chunked
+
+    chunk = int(sys.argv[1]) if len(sys.argv) > 1 else 6
+    vae = CausalVAE(VAEConfig(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    z = jax.random.normal(jax.random.PRNGKey(5), (1, 16, 13, 40, 60))
+    params = jax.jit(lambda: vae.init(jax.random.PRNGKey(0), z[:, :, :1, :8, :8],
+                                      method=vae.decode))()
+    run = lambda x: decode_chunked(vae, params, x, chunk_latent_frames=chunk)
+    print("compile...", file=sys.stderr, flush=True)
+    float(run(z).sum())
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        float(run(z * (1 + (i + 1) * 1e-6)).sum())  # vary: the tunnel dedups
+        times.append(time.time() - t0)
+    print(f"decode (chunk {chunk}): min {min(times):.3f} s over {len(times)} trials")
+
+    d = tempfile.mkdtemp(prefix="orvdecprof_")
+    with jax.profiler.trace(d):
+        float(run(z * 1.000123).sum())
+    traces = glob.glob(f"{d}/plugins/profile/*/*.trace.json.gz")
+    if not traces:
+        print("no trace captured", file=sys.stderr)
+        return
+    with gzip.open(traces[0], "rt") as f:
+        data = json.load(f)
+    ev = data.get("traceEvents", [])
+    tpu_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in str(e.get("args", {}).get("name", ""))}
+    totals = {}
+    for e in ev:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
+            totals[e["name"]] = totals.get(e["name"], 0.0) + e.get("dur", 0.0)
+    total_us = sum(totals.values())
+    print(f"\ndevice total: {total_us/1e3:.2f} ms across {len(totals)} op names")
+    for name, us in sorted(totals.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"  {us/1e3:9.3f} ms  {us/total_us*100:5.1f}%  {name[:100]}")
+
+
+if __name__ == "__main__":
+    main()
