@@ -140,3 +140,35 @@ def test_preprocess_video_latent_passthrough_and_pixels():
     out = preprocess_video(frames, height=8, width=8)
     assert out.shape == (1, 3, 4, 8, 8)
     np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-6)
+
+
+def test_full_denoise_fused_adaln_matches_xla(setup):
+    """The bf16-serving path on TPU routes every block norm/gated residual
+    through the fused Pallas kernels (_fused_adaln_ok) — the full jitted
+    denoise scan under ORV_TPU_FUSED_ADALN=force (interpret mode off-TPU)
+    must match the XLA lowering closely in f32."""
+    import os
+
+    model, params = setup
+    sampler = make_sampler(model.apply, make_schedule(),
+                           SamplerConfig(num_inference_steps=2))
+    B, F, C, H, W = 1, 3, 16, 8, 16
+    lat = jax.random.normal(jax.random.PRNGKey(0), (B, F, C, H, W))
+    img = jnp.zeros((B, F, C, H, W))
+    enc = jax.random.normal(jax.random.PRNGKey(2), (B, 8, 32))
+    acts = jnp.zeros((B, 8, 7))
+
+    def run():
+        return jax.jit(sampler)(params, lat, img, enc, jax.random.PRNGKey(1),
+                                actions=acts)
+
+    try:
+        os.environ["ORV_TPU_FUSED_ADALN"] = "0"
+        ref = run()
+        os.environ["ORV_TPU_FUSED_ADALN"] = "force"
+        fus = run()
+    finally:
+        os.environ.pop("ORV_TPU_FUSED_ADALN", None)
+    assert bool(jnp.all(jnp.isfinite(fus)))
+    np.testing.assert_allclose(np.asarray(fus), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
