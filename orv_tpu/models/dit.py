@@ -157,6 +157,10 @@ class ControlDiT(nn.Module):
         deterministic: bool = True,
         control_cache: Optional[jnp.ndarray] = None,
         controls_only: bool = False,
+        stage: Optional[str] = None,
+        temb_in: Optional[jnp.ndarray] = None,
+        action_emb_in: Optional[jnp.ndarray] = None,
+        post_dims: Optional[Tuple[int, int, int]] = None,
     ):
         # control_cache / controls_only: the visual-control patch embeds
         # depend only on (depths, labels) — not the denoised latents or the
@@ -165,8 +169,58 @@ class ControlDiT(nn.Module):
         # skips the block stack) and feed them back per step via
         # control_cache (~5 ms/step at the flagship shape). The reference
         # re-embeds controls every step (cogvideox_control.py:827-858).
+        #
+        # stage ("pre"/"post"/None): pipeline-parallel split points
+        # (parallel/pp.py). "pre" runs embeddings + conditioning (steps 1-4)
+        # and returns (hidden, enc, temb, action_emb, is_action_mask,
+        # actions_recon); "post" takes the block-stack outputs as
+        # hidden_states/encoder_hidden_states token tensors plus
+        # temb_in/action_emb_in and post_dims=(frames, height, width), runs
+        # the output head (steps 6-7) and returns the sample alone. The
+        # submodule names match the full path, so one param tree serves all
+        # three modes.
         c = self.config
         inner_dim = c.inner_dim
+
+        def _head(hidden, enc, temb, action_emb, num_frames, height, width):
+            # 6. final norm (5b family norms text+video jointly)
+            norm_final = LayerNorm(inner_dim, eps=c.norm_eps, param_dtype=self.param_dtype,
+                                   name="norm_final")
+            if c.joint_final_norm:
+                joint = norm_final(jnp.concatenate([enc, hidden], axis=1))
+                hidden = joint[:, enc.shape[1]:]
+            else:
+                hidden = norm_final(hidden)
+
+            # 7. AdaLN out + projection + unpatchify
+            hidden = AdaLayerNormOut(
+                embedding_dim=c.time_embed_dim, inner_dim=inner_dim, eps=c.norm_eps,
+                dtype=self.dtype, param_dtype=self.param_dtype, name="norm_out",
+            )(hidden, temb, action_emb)
+            p, pt = c.patch_size, c.patch_size_t
+            out_features = c.out_channels * p * p * (pt or 1)
+            hidden = nn.Dense(
+                out_features, kernel_init=torch_linear_init, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="proj_out",
+            )(hidden)
+
+            h_p, w_p = height // p, width // p
+            if pt is None:
+                output = rearrange(
+                    hidden, "b (f h w) (c p1 p2) -> b f c (h p1) (w p2)",
+                    f=num_frames, h=h_p, w=w_p, p1=p, p2=p,
+                )
+            else:
+                output = rearrange(
+                    hidden, "b (f h w) (c pt p1 p2) -> b (f pt) c (h p1) (w p2)",
+                    f=num_frames // pt, h=h_p, w=w_p, pt=pt, p1=p, p2=p,
+                )
+            return rearrange(output, "(b v) f c h w -> b (v f) c h w", v=num_views)
+
+        if stage == "post":
+            f_post, h_post, w_post = post_dims
+            return _head(hidden_states, encoder_hidden_states, temb_in,
+                         action_emb_in, f_post, h_post, w_post)
 
         if num_views > 1:
             hidden_states = rearrange(hidden_states, "b (v f) c h w -> (b v) f c h w", v=num_views)
@@ -271,6 +325,9 @@ class ControlDiT(nn.Module):
         elif controls_only:
             return None
 
+        if stage == "pre":
+            return hidden, enc, temb, action_emb, is_action_mask, actions_recon
+
         # 5. block stack (scanned; optional per-block remat)
         cell = _BlockCell
         if self.remat:
@@ -294,37 +351,5 @@ class ControlDiT(nn.Module):
             (hidden, enc), temb, image_rotary_emb, action_emb, image_rotary_emb_view
         )
 
-        # 6. final norm (5b family norms text+video jointly)
-        norm_final = LayerNorm(inner_dim, eps=c.norm_eps, param_dtype=self.param_dtype,
-                               name="norm_final")
-        if c.joint_final_norm:
-            joint = norm_final(jnp.concatenate([enc, hidden], axis=1))
-            hidden = joint[:, text_len:]
-        else:
-            hidden = norm_final(hidden)
-
-        # 7. AdaLN out + projection + unpatchify
-        hidden = AdaLayerNormOut(
-            embedding_dim=c.time_embed_dim, inner_dim=inner_dim, eps=c.norm_eps,
-            dtype=self.dtype, param_dtype=self.param_dtype, name="norm_out",
-        )(hidden, temb, action_emb)
-        p, pt = c.patch_size, c.patch_size_t
-        out_features = c.out_channels * p * p * (pt or 1)
-        hidden = nn.Dense(
-            out_features, kernel_init=torch_linear_init, dtype=self.dtype,
-            param_dtype=self.param_dtype, name="proj_out",
-        )(hidden)
-
-        h_p, w_p = height // p, width // p
-        if pt is None:
-            output = rearrange(
-                hidden, "b (f h w) (c p1 p2) -> b f c (h p1) (w p2)",
-                f=num_frames, h=h_p, w=w_p, p1=p, p2=p,
-            )
-        else:
-            output = rearrange(
-                hidden, "b (f h w) (c pt p1 p2) -> b (f pt) c (h p1) (w p2)",
-                f=num_frames // pt, h=h_p, w=w_p, pt=pt, p1=p, p2=p,
-            )
-        output = rearrange(output, "(b v) f c h w -> b (v f) c h w", v=num_views)
+        output = _head(hidden, enc, temb, action_emb, num_frames, height, width)
         return output, is_action_mask, actions_recon

@@ -1,4 +1,5 @@
 from orv_tpu.parallel.mesh import make_mesh, param_shardings, MeshConfig
+from orv_tpu.parallel.pp import make_pp_train_step
 from orv_tpu.parallel.train_step import TrainState, make_train_step, make_optimizer, make_lr_schedule
 
 __all__ = [
@@ -7,6 +8,7 @@ __all__ = [
     "MeshConfig",
     "TrainState",
     "make_train_step",
+    "make_pp_train_step",
     "make_optimizer",
     "make_lr_schedule",
 ]

@@ -64,24 +64,31 @@ class MeshConfig:
     dp: int = -1  # -1: all remaining devices
     fsdp: int = 1
     tp: int = 1
+    # pipeline parallel (parallel/pp.py): DiT block stack split into pp
+    # stages, GPipe microbatch schedule over ppermute. Composes with dp
+    # only (pp train step raises on fsdp/tp > 1). Placed between fsdp and
+    # tp in the device layout so tp keeps the innermost (fastest-ICI)
+    # axis: tp collectives fire every layer, pipeline transfers once per
+    # microbatch tick.
+    pp: int = 1
 
     def resolve(self, n_devices: int) -> "MeshConfig":
         dp = self.dp
         if dp == -1:
-            dp = n_devices // (self.fsdp * self.tp)
-        if dp * self.fsdp * self.tp != n_devices:
+            dp = n_devices // (self.fsdp * self.tp * self.pp)
+        if dp * self.fsdp * self.tp * self.pp != n_devices:
             raise ValueError(
-                f"mesh {dp}x{self.fsdp}x{self.tp} != {n_devices} devices"
+                f"mesh {dp}x{self.fsdp}x{self.pp}x{self.tp} != {n_devices} devices"
             )
-        return MeshConfig(dp=dp, fsdp=self.fsdp, tp=self.tp)
+        return MeshConfig(dp=dp, fsdp=self.fsdp, tp=self.tp, pp=self.pp)
 
 
 def make_mesh(config: MeshConfig = MeshConfig(), devices=None, backend: Optional[str] = None) -> Mesh:
     if devices is None:
         devices = jax.devices(backend) if backend else jax.devices()
     cfg = config.resolve(len(devices))
-    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.tp)
-    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.pp, cfg.tp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "pp", "tp"))
 
 
 # ---------------------------------------------------------------------------
@@ -100,13 +107,18 @@ def _spec_for(path: tuple, shape: tuple, mesh: Mesh) -> P:
       reduces over 'tp').
     - fsdp: shard the largest remaining axis divisible by the fsdp size.
     - scanned ('blocks') params have a leading layer axis — never sharded
-      (it is scanned over), so axis search starts at 1 for those.
+      by fsdp (it is scanned over), so the fsdp axis search starts at 1
+      for those; with pp > 1 the layer axis IS the pipeline-stage axis
+      (parallel/pp.py holds L/pp consecutive layers per stage).
     """
     names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
     tp_size = mesh.shape["tp"]
     fsdp_size = mesh.shape["fsdp"]
+    pp_size = mesh.shape.get("pp", 1)
     spec = [None] * len(shape)
     start = 1 if "blocks" in names and len(shape) > 1 else 0
+    if pp_size > 1 and start == 1 and shape[0] % pp_size == 0:
+        spec[0] = "pp"
 
     if tp_size > 1 and "kernel" in names and len(shape) >= 2:
         parent = names[-2] if len(names) >= 2 else ""

@@ -1,0 +1,240 @@
+"""Pipeline-parallel training: the DiT block stack split into `pp` stages.
+
+Capability beyond the reference (its distributed story is DDP/ZeRO only,
+SURVEY.md §2.3) — added because on a TPU pod slice pipeline parallelism is
+the standard way to scale a model past one chip's HBM without paying
+fsdp's per-layer all-gathers: each stage holds `num_layers/pp` consecutive
+blocks resident, and only the [microbatch, S, D] activations cross the ICI
+once per tick.
+
+Design (GPipe schedule, TPU-idiomatic):
+
+- The scanned blocks' stacked params [L, ...] are split along the layer
+  axis over the mesh's `pp` axis via `jax.shard_map` — each device sees a
+  local [L/pp, ...] slice and runs it with `lax.scan` (the same single
+  compiled block as the resident path).
+- The batch is split into M microbatches; a `lax.scan` over
+  T = M + pp - 1 ticks moves activations stage-to-stage with
+  `lax.ppermute` (nearest-neighbour ICI). Bubble fraction is
+  (pp-1)/T — raise `n_micro` to amortize it.
+- Embeddings ("pre") and the output head ("post", `models/dit.py`
+  stage="pre"/"post") run replicated on every stage: they are <1% of the
+  FLOPs and replicating them avoids extra transfers. The pipeline output
+  is taken from the LAST stage (masked psum broadcast), so the loss is
+  replicated and AD through shard_map produces the reversed backward
+  pipeline automatically — per-stage block grads stay local, replicated
+  params get exact grads from the psum/where transposes.
+- Per-tick step indices feed through scan `xs` (never the carry) — the
+  axon backend miscompiles comparisons on carried integers (CLAUDE.md).
+
+Composes with dp (grads pmean over 'dp'); fsdp/tp under pp is not
+implemented (raises) — at pod scale pp replaces fsdp for this model size.
+
+Exactness: the pipelined forward/backward computes the same math as the
+resident step (no batch-coupled ops in the blocks), verified to ~1e-5 in
+tests/test_pp.py against `make_train_step` on identical params/batch/rng.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+
+from orv_tpu.parallel.train_step import TrainState, diffusion_loss
+
+
+def _is_blocks(path) -> bool:
+    return any(getattr(p, "key", getattr(p, "name", str(p))) == "blocks"
+               for p in path)
+
+
+def _pp_specs(params: Any):
+    """shard_map PartitionSpecs: blocks' layer axis over 'pp', rest replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: P("pp") if _is_blocks(path) and leaf.ndim >= 1 else P(),
+        params,
+    )
+
+
+def _pipeline(cell, block_params, hidden, enc, temb, rope, action_emb,
+              rope_view, *, n_micro: int, pp_size: int, remat: bool):
+    """Run the block stack over the 'pp' axis with a GPipe microbatch
+    schedule. Per-device code (inside shard_map); `block_params` is the
+    local [L/pp, ...] stacked slice."""
+    M = n_micro
+    B = hidden.shape[0]
+    if B % M != 0:
+        raise ValueError(f"pipeline batch {B} not divisible by n_micro={M}")
+    mb = B // M
+    p = jax.lax.axis_index("pp")
+
+    def stack_fn(h, e, tmb, aemb):
+        def body(carry, layer_params):
+            out, _ = cell.apply({"params": layer_params}, carry, tmb, rope,
+                                aemb, rope_view)
+            return out, None
+
+        if remat:
+            body = jax.checkpoint(body, prevent_cse=False)
+        (h, e), _ = jax.lax.scan(body, (h, e), block_params)
+        return h, e
+
+    def split(a):
+        return a.reshape(M, mb, *a.shape[1:])
+
+    h_in, e_in, t_in = split(hidden), split(enc), split(temb)
+    a_in = split(action_emb) if action_emb is not None else None
+
+    def at(stack, i):
+        return jax.lax.dynamic_index_in_dim(stack, i, 0, keepdims=False)
+
+    def tick(carry, t):
+        cur_h, cur_e, out_h, out_e = carry
+        i = jnp.clip(t - p, 0, M - 1)  # this stage's microbatch this tick
+        first = p == 0
+        in_h = jnp.where(first, at(h_in, i), cur_h)
+        in_e = jnp.where(first, at(e_in, i), cur_e)
+        y_h, y_e = stack_fn(in_h, in_e, at(t_in, i),
+                            at(a_in, i) if a_in is not None else None)
+        # last stage writes finished microbatches into the output stacks
+        write = (p == pp_size - 1) & (t - p >= 0) & (t - p < M)
+        out_h = jax.lax.dynamic_update_index_in_dim(
+            out_h, jnp.where(write, y_h, at(out_h, i)), i, 0)
+        out_e = jax.lax.dynamic_update_index_in_dim(
+            out_e, jnp.where(write, y_e, at(out_e, i)), i, 0)
+        if pp_size > 1:  # hand to the next stage (bubble ticks carry zeros)
+            perm = [(s, s + 1) for s in range(pp_size - 1)]
+            y_h = jax.lax.ppermute(y_h, "pp", perm)
+            y_e = jax.lax.ppermute(y_e, "pp", perm)
+        return (y_h, y_e, out_h, out_e), None
+
+    init = (
+        jnp.zeros((mb,) + hidden.shape[1:], hidden.dtype),
+        jnp.zeros((mb,) + enc.shape[1:], enc.dtype),
+        jnp.zeros((M, mb) + hidden.shape[1:], hidden.dtype),
+        jnp.zeros((M, mb) + enc.shape[1:], enc.dtype),
+    )
+    ticks = jnp.arange(M + pp_size - 1)
+    (_, _, out_h, out_e), _ = jax.lax.scan(tick, init, ticks)
+
+    # broadcast the last stage's outputs to every stage for the replicated
+    # head (psum of a masked buffer == select-from-last-stage)
+    is_last = p == pp_size - 1
+    out_h = jax.lax.psum(jnp.where(is_last, out_h, jnp.zeros_like(out_h)), "pp")
+    out_e = jax.lax.psum(jnp.where(is_last, out_e, jnp.zeros_like(out_e)), "pp")
+    return (out_h.reshape(B, *hidden.shape[1:]),
+            out_e.reshape(B, *enc.shape[1:]))
+
+
+def make_pp_apply(model, pp_size: int, n_micro: int, remat: bool = False) -> Callable:
+    """A drop-in `model.apply` replacement whose block stack runs as a
+    `pp_size`-stage pipeline. Must be called inside shard_map over a mesh
+    with a 'pp' axis; params carry the LOCAL blocks slice."""
+    from orv_tpu.models.dit import _BlockCell
+
+    def apply_fn(params, hidden_states, encoder_hidden_states, timestep,
+                 actions=None, depths=None, labels=None,
+                 image_rotary_emb=None, num_views: int = 1,
+                 deterministic: bool = True, rngs=None):
+        c = model.config
+        if num_views > 1 and (hidden_states.shape[0] % n_micro != 0):
+            raise ValueError("multiview pp needs n_micro to divide the "
+                             "sample batch so views stay in one microbatch")
+        hidden, enc, temb, action_emb, is_mask, act_recon = model.apply(
+            params, hidden_states, encoder_hidden_states, timestep,
+            actions=actions, depths=depths, labels=labels,
+            image_rotary_emb=image_rotary_emb, num_views=num_views,
+            deterministic=deterministic, rngs=rngs, stage="pre",
+        )
+        num_frames = hidden_states.shape[1] // num_views
+        cell = _BlockCell(
+            cfg=c, n_view=num_views, n_frame=num_frames,
+            attn_impl=model.attn_impl, dtype=model.dtype,
+            param_dtype=model.param_dtype, quant=model.quant, sp_mesh=None,
+        )
+        hidden, enc = _pipeline(
+            cell, params["params"]["blocks"], hidden, enc, temb,
+            image_rotary_emb, action_emb, None,
+            n_micro=n_micro, pp_size=pp_size, remat=remat,
+        )
+        out = model.apply(
+            params, hidden, enc, timestep, num_views=num_views,
+            stage="post", temb_in=temb, action_emb_in=action_emb,
+            post_dims=(num_frames, hidden_states.shape[3], hidden_states.shape[4]),
+        )
+        return out, is_mask, act_recon
+
+    return apply_fn
+
+
+def make_pp_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    schedule,
+    mesh,
+    n_micro: Optional[int] = None,
+    donate: bool = True,
+    fold_rng: bool = True,
+    **loss_kwargs,
+):
+    """Pipeline-parallel counterpart of `make_train_step`: same loss, same
+    TrainState protocol, blocks split over the mesh's 'pp' axis. Shard
+    params with `param_shardings(params, mesh)` (layer axis lands on 'pp')
+    and the batch with `batch_sharding(mesh)` as usual.
+
+    `n_micro` (default: pp size) microbatches per dp shard; bubble
+    fraction (pp-1)/(n_micro+pp-1)."""
+    pp_size = mesh.shape["pp"]
+    dp_size = mesh.shape["dp"]
+    if mesh.shape.get("fsdp", 1) != 1 or mesh.shape.get("tp", 1) != 1:
+        raise ValueError("pp composes with dp only (fsdp=tp=1); "
+                         f"got mesh {dict(mesh.shape)}")
+    L = model.config.num_layers
+    if L % pp_size != 0:
+        raise ValueError(f"num_layers={L} not divisible by pp={pp_size}")
+    n_micro = int(n_micro or pp_size)
+    remat = bool(getattr(model, "remat", False))
+    apply_fn = make_pp_apply(model, pp_size, n_micro, remat=remat)
+
+    def device_loss(params, batch, rng):
+        if dp_size > 1:
+            # per-dp-shard noise/timesteps; dp=1 keeps the key untouched so
+            # the step matches the resident one bit-for-bit in expectation
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
+        loss, metrics = diffusion_loss(apply_fn, params, batch, schedule,
+                                       rng, **loss_kwargs)
+        loss = jax.lax.pmean(loss, "dp")
+        metrics = jax.tree_util.tree_map(lambda m: jax.lax.pmean(m, "dp"),
+                                         metrics)
+        return loss, metrics
+
+    def loss_fn(params, batch, rng):
+        pspecs = _pp_specs(params)
+        bspecs = jax.tree_util.tree_map(lambda _: P("dp"), batch)
+        sharded = jax.shard_map(
+            device_loss, mesh=mesh,
+            in_specs=(pspecs, bspecs, P()),
+            out_specs=(P(), P()),
+            # the masked-psum broadcast + partial ppermutes confuse the
+            # varying-axes checker; correctness is pinned by test_pp.py's
+            # exact match against the resident step
+            check_vma=False,
+        )
+        return sharded(params, batch, rng)
+
+    def step_fn(state: TrainState, batch, rng):
+        if fold_rng:
+            rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, batch, rng)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (TrainState(step=state.step + 1, params=params,
+                           opt_state=opt_state), metrics)
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())

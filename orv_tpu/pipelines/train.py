@@ -32,7 +32,7 @@ from orv_tpu.models import ControlDiT, DiTConfig
 from orv_tpu.models.weights import convert_dit_state_dict, load_torch_state_dict
 from orv_tpu.parallel import (
     MeshConfig, TrainState, make_mesh, make_lr_schedule, make_optimizer,
-    make_train_step, param_shardings,
+    make_pp_train_step, make_train_step, param_shardings,
 )
 from orv_tpu.parallel.mesh import batch_sharding
 from orv_tpu.schedulers import make_schedule
@@ -301,7 +301,8 @@ def train(cfg: Config, vae=None, vae_params=None):
 
     mesh_cfg = tcfg.get("mesh", {}) or {}
     mesh = make_mesh(MeshConfig(
-        dp=mesh_cfg.get("dp", -1), fsdp=mesh_cfg.get("fsdp", 1), tp=mesh_cfg.get("tp", 1)
+        dp=mesh_cfg.get("dp", -1), fsdp=mesh_cfg.get("fsdp", 1),
+        tp=mesh_cfg.get("tp", 1), pp=mesh_cfg.get("pp", 1),
     ))
     CONSOLE.log(f"mesh: {dict(mesh.shape)}")
 
@@ -381,27 +382,37 @@ def train(cfg: Config, vae=None, vae_params=None):
             patch_size=dit_cfg.patch_size, patch_size_t=dit_cfg.patch_size_t,
             attention_head_dim=dit_cfg.attention_head_dim,
         )
-    step_fn = make_train_step(
-        model.apply, tx, schedule, mesh=mesh,
+    step_kwargs = dict(
         vae_scaling_factor=float(cfg.get("vae", {}).get("scaling_factor", 1.15258426)),
         noised_image_dropout=float(tcfg.get("noised_image_dropout", 0.05)),
         recon_action=bool(cfg.get("recon_action", False)),
         image_rotary_emb=image_rotary_emb,
         patch_size_t=dit_cfg.patch_size_t,
     )
+    if mesh.shape.get("pp", 1) > 1:
+        # pipeline-parallel step (parallel/pp.py): blocks split over 'pp',
+        # GPipe microbatch schedule; n_micro from train.mesh.n_micro
+        step_fn = make_pp_train_step(
+            model, tx, schedule, mesh,
+            n_micro=mesh_cfg.get("n_micro"), **step_kwargs,
+        )
+    else:
+        step_fn = make_train_step(model.apply, tx, schedule, mesh=mesh,
+                                  **step_kwargs)
     # multiview batches are bucket-homogeneous in view count but the count
     # varies across buckets: specialize the jitted step per num_views
     _step_cache = {1: step_fn}
 
     def step_for(nv: int):
         if nv not in _step_cache:
-            _step_cache[nv] = make_train_step(
-                model.apply, tx, schedule, mesh=mesh,
-                vae_scaling_factor=float(cfg.get("vae", {}).get("scaling_factor", 1.15258426)),
-                noised_image_dropout=float(tcfg.get("noised_image_dropout", 0.05)),
-                recon_action=bool(cfg.get("recon_action", False)),
-                num_views=nv, image_rotary_emb=image_rotary_emb,
-            )
+            nv_kwargs = {**step_kwargs, "num_views": nv, "patch_size_t": None}
+            if mesh.shape.get("pp", 1) > 1:
+                _step_cache[nv] = make_pp_train_step(
+                    model, tx, schedule, mesh,
+                    n_micro=mesh_cfg.get("n_micro"), **nv_kwargs)
+            else:
+                _step_cache[nv] = make_train_step(model.apply, tx, schedule,
+                                                  mesh=mesh, **nv_kwargs)
         return _step_cache[nv]
     rng = jax.random.PRNGKey(seed)
     bsh = batch_sharding(mesh)

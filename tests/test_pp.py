@@ -1,0 +1,161 @@
+"""Pipeline-parallel train step (parallel/pp.py) on the CPU mesh.
+
+The load-bearing property is EXACTNESS: the GPipe schedule must compute
+the same loss and the same parameter updates as the resident
+`make_train_step` on identical params/batch/rng — the pipeline only
+re-orders per-sample work, and no op in the blocks couples samples.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orv_tpu.models import ControlDiT, DiTConfig
+from orv_tpu.parallel import (
+    MeshConfig, TrainState, make_mesh, make_optimizer, make_lr_schedule,
+    make_pp_train_step, make_train_step, param_shardings,
+)
+from orv_tpu.parallel.mesh import batch_sharding
+from orv_tpu.schedulers import make_schedule
+
+CFG = DiTConfig(
+    num_attention_heads=4, attention_head_dim=16, num_layers=2,
+    in_channels=32, out_channels=16, text_embed_dim=32, time_embed_dim=64,
+    max_text_seq_length=8, sample_width=16, sample_height=8, recon_action=True,
+)
+
+
+def _batch(B=8, F=3, C=16, H=8, W=16):
+    k = jax.random.PRNGKey(3)
+    ks = jax.random.split(k, 4)
+    return {
+        "latents": jax.random.normal(ks[0], (B, 2 * C, F, H, W)),
+        "image_latents": jax.random.normal(ks[1], (B, 2 * C, 1, H, W)),
+        "prompt_embeds": jax.random.normal(ks[2], (B, 8, 32)),
+        "actions": jax.random.normal(ks[3], (B, F * 4 - 4, 7)) * 0.1,
+    }
+
+
+def _model_state():
+    model = ControlDiT(CFG, dtype=jnp.float32)
+    b = _batch()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "action_mask": jax.random.PRNGKey(1)},
+        b["latents"][:, :32].transpose(0, 2, 1, 3, 4),
+        b["prompt_embeds"], jnp.zeros((8,), jnp.int32), actions=b["actions"],
+        deterministic=False,
+    )
+    tx = make_optimizer(make_lr_schedule(total_steps=100, warmup_steps=0))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    return model, tx, state, b
+
+
+def _max_leaf_err(a, b):
+    errs = jax.tree_util.tree_map(
+        lambda x, y: float(jnp.max(jnp.abs(x - y))), a, b)
+    return max(jax.tree_util.tree_leaves(errs))
+
+
+def test_pp_step_matches_resident_step():
+    model, tx, state, batch = _model_state()
+    sched = make_schedule()
+    rng = jax.random.PRNGKey(42)
+
+    ref_step = make_train_step(model.apply, tx, sched, recon_action=True,
+                               fold_rng=False, donate=False)
+    ref_state, ref_m = ref_step(state, batch, rng)
+
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=1, pp=2),
+                     devices=jax.devices("cpu")[:2])
+    pp_step = make_pp_train_step(model, tx, sched, mesh, n_micro=2,
+                                 recon_action=True, fold_rng=False,
+                                 donate=False)
+    pp_state_in = TrainState(
+        step=state.step,
+        params=jax.device_put(state.params, param_shardings(state.params, mesh)),
+        opt_state=state.opt_state,
+    )
+    pbatch = jax.device_put(batch, batch_sharding(mesh))
+    pp_state, pp_m = pp_step(pp_state_in, pbatch, rng)
+
+    assert abs(float(pp_m["loss"]) - float(ref_m["loss"])) < 1e-5, (
+        float(pp_m["loss"]), float(ref_m["loss"]))
+    assert abs(float(pp_m["grad_norm"]) - float(ref_m["grad_norm"])) < 1e-4
+    err = _max_leaf_err(jax.device_get(pp_state.params),
+                        jax.device_get(ref_state.params))
+    assert err < 1e-5, f"pp updated params diverge from resident: {err}"
+
+
+def test_pp_composes_with_dp():
+    """pp=2 x dp=2 must equal dp=2 alone (pp=1 degenerates to microbatched
+    execution inside the same shard_map step, so rng folding matches)."""
+    model, tx, state, batch = _model_state()
+    sched = make_schedule()
+    rng = jax.random.PRNGKey(7)
+
+    mesh_dp = make_mesh(MeshConfig(dp=2, fsdp=1, tp=1, pp=1),
+                        devices=jax.devices("cpu")[:2])
+    step_dp = make_pp_train_step(model, tx, sched, mesh_dp, n_micro=2,
+                                 recon_action=True, fold_rng=False,
+                                 donate=False)
+    s_dp, m_dp = step_dp(
+        TrainState(step=state.step,
+                   params=jax.device_put(state.params,
+                                         param_shardings(state.params, mesh_dp)),
+                   opt_state=state.opt_state),
+        jax.device_put(batch, batch_sharding(mesh_dp)), rng)
+
+    mesh_both = make_mesh(MeshConfig(dp=2, fsdp=1, tp=1, pp=2),
+                          devices=jax.devices("cpu")[:4])
+    step_both = make_pp_train_step(model, tx, sched, mesh_both, n_micro=2,
+                                   recon_action=True, fold_rng=False,
+                                   donate=False)
+    s_both, m_both = step_both(
+        TrainState(step=state.step,
+                   params=jax.device_put(state.params,
+                                         param_shardings(state.params, mesh_both)),
+                   opt_state=state.opt_state),
+        jax.device_put(batch, batch_sharding(mesh_both)), rng)
+
+    assert abs(float(m_both["loss"]) - float(m_dp["loss"])) < 1e-5
+    err = _max_leaf_err(jax.device_get(s_both.params),
+                        jax.device_get(s_dp.params))
+    assert err < 1e-5, f"pp+dp params diverge from dp-only: {err}"
+
+
+def test_pp_overfits_same_batch():
+    model, tx, state, batch = _model_state()
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=1, pp=2),
+                     devices=jax.devices("cpu")[:4])
+    step = make_pp_train_step(model, tx, make_schedule(), mesh, n_micro=4,
+                              recon_action=True, fold_rng=False)
+    state = TrainState(
+        step=state.step,
+        params=jax.device_put(state.params, param_shardings(state.params, mesh)),
+        opt_state=state.opt_state,
+    )
+    batch = jax.device_put(batch, batch_sharding(mesh))
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(3):
+        state, m = step(state, batch, rng)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_pp_rejects_fsdp_tp():
+    model, tx, state, _ = _model_state()
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2, pp=1), backend="cpu")
+    with pytest.raises(ValueError, match="pp composes with dp only"):
+        make_pp_train_step(model, tx, make_schedule(), mesh)
+
+
+def test_pp_rejects_indivisible_layers():
+    model, tx, state, _ = _model_state()  # num_layers=2
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=1, pp=3),
+                     devices=jax.devices("cpu")[:3])
+    with pytest.raises(ValueError, match="not divisible by pp"):
+        make_pp_train_step(model, tx, make_schedule(), mesh)
