@@ -34,7 +34,7 @@ from orv_tpu.parallel import (
     MeshConfig, TrainState, make_mesh, make_lr_schedule, make_optimizer,
     make_pp_train_step, make_train_step, param_shardings,
 )
-from orv_tpu.parallel.mesh import batch_sharding
+from orv_tpu.parallel.mesh import batch_sharding, replicated
 from orv_tpu.schedulers import make_schedule
 from orv_tpu.utils.checkpoint import TrainCheckpointer, export_pretrained, load_pretrained
 from orv_tpu.utils.logging import CONSOLE
@@ -358,8 +358,17 @@ def train(cfg: Config, vae=None, vae_params=None):
 
     shardings = param_shardings(params, mesh)
     params = jax.device_put(params, shardings)
-    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=tx.init(params))
+    opt_state = tx.init(params)
+    # Commit EVERY leaf to the mesh (scalars replicated): orbax restores
+    # each leaf with the template's placement, and an uncommitted scalar
+    # (step, optimizer counts) would come back committed to one device —
+    # the first post-resume step on a >1-device mesh then fails with
+    # "incompatible devices" (caught by tests/test_pp.py restore test).
+    state = TrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), replicated(mesh)),
+        params=params,
+        opt_state=jax.device_put(opt_state, param_shardings(opt_state, mesh)),
+    )
 
     ckpt = TrainCheckpointer(str(out_dir / "checkpoints"),
                              max_to_keep=int(tcfg.get("checkpoints_total_limit", 2)))

@@ -146,6 +146,68 @@ def test_pp_overfits_same_batch():
     assert losses[-1] < losses[0]
 
 
+def test_pp_remat_matches_no_remat():
+    """model.remat routes the pipeline's local stack through jax.checkpoint;
+    rematerialization must not change the computed update."""
+    model, tx, state, batch = _model_state()
+    sched = make_schedule()
+    rng = jax.random.PRNGKey(11)
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=1, pp=2),
+                     devices=jax.devices("cpu")[:2])
+    sharded = TrainState(
+        step=state.step,
+        params=jax.device_put(state.params, param_shardings(state.params, mesh)),
+        opt_state=state.opt_state,
+    )
+    pbatch = jax.device_put(batch, batch_sharding(mesh))
+
+    plain = make_pp_train_step(model, tx, sched, mesh, n_micro=2,
+                               recon_action=True, fold_rng=False, donate=False)
+    _, m_plain = plain(sharded, pbatch, rng)
+
+    model_r = ControlDiT(CFG, dtype=jnp.float32, remat=True)
+    rstep = make_pp_train_step(model_r, tx, sched, mesh, n_micro=2,
+                               recon_action=True, fold_rng=False, donate=False)
+    s_r, m_r = rstep(sharded, pbatch, rng)
+
+    assert abs(float(m_r["loss"]) - float(m_plain["loss"])) < 1e-6
+    assert abs(float(m_r["grad_norm"]) - float(m_plain["grad_norm"])) < 1e-4
+
+
+def test_pp_checkpoint_restore(tmp_path):
+    """A checkpoint written unsharded must restore onto a pp-sharded
+    template (orbax places each stage's layer slice) and train."""
+    from orv_tpu.utils.checkpoint import TrainCheckpointer
+
+    model, tx, state, batch = _model_state()
+    ckpt = TrainCheckpointer(str(tmp_path / "ck"), max_to_keep=1)
+    ckpt.save(0, state)
+
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=1, pp=2),
+                     devices=jax.devices("cpu")[:2])
+    # every template leaf mesh-committed (scalars replicated), like
+    # pipelines/train.py builds it — orbax restores with the template's
+    # placement, and a single-device scalar would clash with mesh params
+    from orv_tpu.parallel.mesh import replicated
+
+    template = TrainState(
+        step=jax.device_put(state.step, replicated(mesh)),
+        params=jax.device_put(state.params, param_shardings(state.params, mesh)),
+        opt_state=jax.device_put(state.opt_state,
+                                 param_shardings(state.opt_state, mesh)),
+    )
+    restored = ckpt.restore(template)
+    err = _max_leaf_err(jax.device_get(restored.params),
+                        jax.device_get(state.params))
+    assert err == 0.0, f"restore changed params: {err}"
+
+    step = make_pp_train_step(model, tx, make_schedule(), mesh, n_micro=2,
+                              recon_action=True, fold_rng=False)
+    _, m = step(restored, jax.device_put(batch, batch_sharding(mesh)),
+                jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["loss"]))
+
+
 def test_pp_rejects_fsdp_tp():
     model, tx, state, _ = _model_state()
     mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2, pp=1), backend="cpu")
