@@ -511,6 +511,26 @@ def main():
     # parseable (all-stale) line exists within seconds of process start
     _emit(results, cache, incomplete)
 
+    # Dead-tunnel early exit: when backend init hangs (observed 2026-08-17,
+    # no exception — just a retry loop), every phase subprocess would burn
+    # its full timeout. The startup device probe already timed out in that
+    # state; confirm with one longer probe before writing the chip off —
+    # a merely-contended window usually still answers within 120 s.
+    if _device_str().startswith("<unavailable") and cache:
+        try:
+            alive = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=120.0,
+            ).returncode == 0
+        except Exception:  # noqa: BLE001 — TimeoutExpired => still hung
+            alive = False
+        if not alive:
+            print("bench: TPU backend init hung twice — tunnel is down; "
+                  "reporting cached quiet-window timings", file=sys.stderr,
+                  flush=True)
+            _emit(results, cache, incomplete)
+            return
+
     for phase, kwargs in [
         ("sampler", dict(max_attempts=3, first_timeout=900.0)),
         # decode chunk 6 is fastest but needs ~10GB HBM; under a co-tenant
