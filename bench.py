@@ -327,6 +327,7 @@ def _save_cache(cache: dict) -> None:
 
 
 _DEVICE_STR = None
+_PROBE_FAILED = False  # last probe outcome (read by the dead-tunnel check)
 
 
 def _device_str() -> str:
@@ -334,7 +335,7 @@ def _device_str() -> str:
     # 2026-08-17: a dead tunnel leaves init in a retry loop that no
     # exception and no SIGALRM interrupts) — so the parent process must
     # never call jax.devices() itself. Probe in a killable subprocess.
-    global _DEVICE_STR
+    global _DEVICE_STR, _PROBE_FAILED
     if _DEVICE_STR is not None:
         return _DEVICE_STR
     try:
@@ -345,9 +346,12 @@ def _device_str() -> str:
         )
         if out.returncode == 0 and out.stdout.strip():
             _DEVICE_STR = out.stdout.strip().splitlines()[-1]  # cache success
+            _PROBE_FAILED = False
             return _DEVICE_STR
+        _PROBE_FAILED = True
         return "<unavailable: probe failed>"  # NOT cached: retry next emit
     except Exception as e:  # noqa: BLE001 — incl. TimeoutExpired on a hung tunnel
+        _PROBE_FAILED = True
         return f"<unavailable: {type(e).__name__}>"  # NOT cached
 
 
@@ -513,10 +517,11 @@ def main():
 
     # Dead-tunnel early exit: when backend init hangs (observed 2026-08-17,
     # no exception — just a retry loop), every phase subprocess would burn
-    # its full timeout. The startup device probe already timed out in that
-    # state; confirm with one longer probe before writing the chip off —
-    # a merely-contended window usually still answers within 120 s.
-    if _device_str().startswith("<unavailable") and cache:
+    # its full timeout. The startup emit's device probe already timed out
+    # in that state (_PROBE_FAILED); confirm with one longer probe before
+    # writing the chip off — a merely-contended window usually still
+    # answers within 120 s.
+    if _PROBE_FAILED and cache:
         try:
             alive = subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],

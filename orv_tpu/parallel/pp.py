@@ -32,7 +32,11 @@ implemented (raises) — at pod scale pp replaces fsdp for this model size.
 
 Exactness: the pipelined forward/backward computes the same math as the
 resident step (no batch-coupled ops in the blocks), verified to ~1e-5 in
-tests/test_pp.py against `make_train_step` on identical params/batch/rng.
+tests/test_pp.py against `make_train_step` on identical params/batch/rng
+at dp=1. With dp>1 the rng is folded per dp shard, so noise/timestep
+draws (and the whole-batch image-CFG dropout, which becomes per-shard)
+differ from the resident global-batch step — same training distribution,
+not bit-identical steps.
 """
 
 from __future__ import annotations
@@ -61,10 +65,16 @@ def _pp_specs(params: Any):
 
 
 def _pipeline(cell, block_params, hidden, enc, temb, rope, action_emb,
-              rope_view, *, n_micro: int, pp_size: int, remat: bool):
+              rope_view, *, n_micro: int, pp_size: int, remat: bool,
+              collect_enc: bool = True):
     """Run the block stack over the 'pp' axis with a GPipe microbatch
     schedule. Per-device code (inside shard_map); `block_params` is the
-    local [L/pp, ...] stacked slice."""
+    local [L/pp, ...] stacked slice.
+
+    collect_enc=False skips the encoder-token output stack (scan carry +
+    cross-stage psum) and returns enc=None — the head only reads the
+    final enc tokens under joint_final_norm (5b family); the inter-stage
+    enc handoff itself always happens (each block updates both streams)."""
     M = n_micro
     B = hidden.shape[0]
     if B % M != 0:
@@ -104,8 +114,9 @@ def _pipeline(cell, block_params, hidden, enc, temb, rope, action_emb,
         write = (p == pp_size - 1) & (t - p >= 0) & (t - p < M)
         out_h = jax.lax.dynamic_update_index_in_dim(
             out_h, jnp.where(write, y_h, at(out_h, i)), i, 0)
-        out_e = jax.lax.dynamic_update_index_in_dim(
-            out_e, jnp.where(write, y_e, at(out_e, i)), i, 0)
+        if collect_enc:
+            out_e = jax.lax.dynamic_update_index_in_dim(
+                out_e, jnp.where(write, y_e, at(out_e, i)), i, 0)
         if pp_size > 1:  # hand to the next stage (bubble ticks carry zeros)
             perm = [(s, s + 1) for s in range(pp_size - 1)]
             y_h = jax.lax.ppermute(y_h, "pp", perm)
@@ -116,7 +127,8 @@ def _pipeline(cell, block_params, hidden, enc, temb, rope, action_emb,
         jnp.zeros((mb,) + hidden.shape[1:], hidden.dtype),
         jnp.zeros((mb,) + enc.shape[1:], enc.dtype),
         jnp.zeros((M, mb) + hidden.shape[1:], hidden.dtype),
-        jnp.zeros((M, mb) + enc.shape[1:], enc.dtype),
+        (jnp.zeros((M, mb) + enc.shape[1:], enc.dtype) if collect_enc
+         else jnp.zeros((), enc.dtype)),
     )
     ticks = jnp.arange(M + pp_size - 1)
     (_, _, out_h, out_e), _ = jax.lax.scan(tick, init, ticks)
@@ -125,9 +137,11 @@ def _pipeline(cell, block_params, hidden, enc, temb, rope, action_emb,
     # head (psum of a masked buffer == select-from-last-stage)
     is_last = p == pp_size - 1
     out_h = jax.lax.psum(jnp.where(is_last, out_h, jnp.zeros_like(out_h)), "pp")
+    out_h = out_h.reshape(B, *hidden.shape[1:])
+    if not collect_enc:
+        return out_h, None
     out_e = jax.lax.psum(jnp.where(is_last, out_e, jnp.zeros_like(out_e)), "pp")
-    return (out_h.reshape(B, *hidden.shape[1:]),
-            out_e.reshape(B, *enc.shape[1:]))
+    return out_h, out_e.reshape(B, *enc.shape[1:])
 
 
 def make_pp_apply(model, pp_size: int, n_micro: int, remat: bool = False) -> Callable:
@@ -156,13 +170,19 @@ def make_pp_apply(model, pp_size: int, n_micro: int, remat: bool = False) -> Cal
             attn_impl=model.attn_impl, dtype=model.dtype,
             param_dtype=model.param_dtype, quant=model.quant, sp_mesh=None,
         )
-        hidden, enc = _pipeline(
+        hidden, enc_out = _pipeline(
             cell, params["params"]["blocks"], hidden, enc, temb,
             image_rotary_emb, action_emb, None,
             n_micro=n_micro, pp_size=pp_size, remat=remat,
+            # the head reads the final enc tokens only under
+            # joint_final_norm (5b family) — skip their collection
+            # bookkeeping and cross-stage psum otherwise
+            collect_enc=c.joint_final_norm,
         )
         out = model.apply(
-            params, hidden, enc, timestep, num_views=num_views,
+            # pre-stack enc as a placeholder when the head ignores it
+            params, hidden, enc_out if enc_out is not None else enc,
+            timestep, num_views=num_views,
             stage="post", temb_in=temb, action_emb_in=action_emb,
             post_dims=(num_frames, hidden_states.shape[3], hidden_states.shape[4]),
         )

@@ -398,30 +398,23 @@ def train(cfg: Config, vae=None, vae_params=None):
         image_rotary_emb=image_rotary_emb,
         patch_size_t=dit_cfg.patch_size_t,
     )
-    if mesh.shape.get("pp", 1) > 1:
-        # pipeline-parallel step (parallel/pp.py): blocks split over 'pp',
-        # GPipe microbatch schedule; n_micro from train.mesh.n_micro
-        step_fn = make_pp_train_step(
-            model, tx, schedule, mesh,
-            n_micro=mesh_cfg.get("n_micro"), **step_kwargs,
-        )
-    else:
-        step_fn = make_train_step(model.apply, tx, schedule, mesh=mesh,
-                                  **step_kwargs)
+    def _make_step(**extra):
+        # pp > 1: pipeline-parallel step (parallel/pp.py), blocks split
+        # over 'pp', GPipe microbatch schedule, n_micro from train.mesh
+        kw = {**step_kwargs, **extra}
+        if mesh.shape.get("pp", 1) > 1:
+            return make_pp_train_step(model, tx, schedule, mesh,
+                                      n_micro=mesh_cfg.get("n_micro"), **kw)
+        return make_train_step(model.apply, tx, schedule, mesh=mesh, **kw)
+
+    step_fn = _make_step()
     # multiview batches are bucket-homogeneous in view count but the count
     # varies across buckets: specialize the jitted step per num_views
     _step_cache = {1: step_fn}
 
     def step_for(nv: int):
         if nv not in _step_cache:
-            nv_kwargs = {**step_kwargs, "num_views": nv, "patch_size_t": None}
-            if mesh.shape.get("pp", 1) > 1:
-                _step_cache[nv] = make_pp_train_step(
-                    model, tx, schedule, mesh,
-                    n_micro=mesh_cfg.get("n_micro"), **nv_kwargs)
-            else:
-                _step_cache[nv] = make_train_step(model.apply, tx, schedule,
-                                                  mesh=mesh, **nv_kwargs)
+            _step_cache[nv] = _make_step(num_views=nv, patch_size_t=None)
         return _step_cache[nv]
     rng = jax.random.PRNGKey(seed)
     bsh = batch_sharding(mesh)

@@ -174,6 +174,90 @@ def test_pp_remat_matches_no_remat():
     assert abs(float(m_r["grad_norm"]) - float(m_plain["grad_norm"])) < 1e-4
 
 
+def test_pp_joint_final_norm_matches_resident():
+    """joint_final_norm (5b family) makes the head consume the final enc
+    tokens — the pipeline must collect and broadcast them (collect_enc)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, joint_final_norm=True, recon_action=False)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    batch = {k: v for k, v in _batch().items() if k != "actions"}
+    params = model.init(
+        jax.random.PRNGKey(0),
+        batch["latents"][:, :32].transpose(0, 2, 1, 3, 4),
+        batch["prompt_embeds"], jnp.zeros((8,), jnp.int32),
+    )
+    tx = make_optimizer(make_lr_schedule(total_steps=100, warmup_steps=0))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    sched = make_schedule()
+    rng = jax.random.PRNGKey(13)
+
+    ref_step = make_train_step(model.apply, tx, sched, fold_rng=False,
+                               donate=False)
+    _, ref_m = ref_step(state, batch, rng)
+
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=1, pp=2),
+                     devices=jax.devices("cpu")[:2])
+    pp_step = make_pp_train_step(model, tx, sched, mesh, n_micro=2,
+                                 fold_rng=False, donate=False)
+    _, pp_m = pp_step(
+        TrainState(step=state.step,
+                   params=jax.device_put(state.params,
+                                         param_shardings(state.params, mesh)),
+                   opt_state=state.opt_state),
+        jax.device_put(batch, batch_sharding(mesh)), rng)
+
+    assert abs(float(pp_m["loss"]) - float(ref_m["loss"])) < 1e-5
+    assert abs(float(pp_m["grad_norm"]) - float(ref_m["grad_norm"])) < 1e-4
+
+
+def test_pp_multiview_matches_resident():
+    """MVBlock couples rows WITHIN a (b v) group, so microbatch boundaries
+    must never split a sample's views — pinned by exact match against the
+    resident multiview step (B=4, V=2, n_micro=2 -> 2 samples/microbatch)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, multiview=True, max_n_view=2,
+                              recon_action=False)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    V, F, B = 2, 3, 4
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, V * F, 32, 8, 16))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 32))
+    params = model.init(jax.random.PRNGKey(0), x, enc,
+                        jnp.zeros((B,), jnp.int32), num_views=V)
+    tx = make_optimizer(make_lr_schedule(total_steps=100, warmup_steps=0))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(2), (B, 32, V * F, 8, 16)),
+        "image_latents": jax.random.normal(jax.random.PRNGKey(3), (B, 32, V, 8, 16)),
+        "prompt_embeds": enc,
+    }
+    sched = make_schedule()
+    rng = jax.random.PRNGKey(5)
+
+    ref_step = make_train_step(model.apply, tx, sched, num_views=V,
+                               fold_rng=False, donate=False)
+    ref_state, ref_m = ref_step(state, batch, rng)
+
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=1, pp=2),
+                     devices=jax.devices("cpu")[:2])
+    pp_step = make_pp_train_step(model, tx, sched, mesh, n_micro=2,
+                                 num_views=V, fold_rng=False, donate=False)
+    pp_state, pp_m = pp_step(
+        TrainState(step=state.step,
+                   params=jax.device_put(state.params,
+                                         param_shardings(state.params, mesh)),
+                   opt_state=state.opt_state),
+        jax.device_put(batch, batch_sharding(mesh)), rng)
+
+    assert abs(float(pp_m["loss"]) - float(ref_m["loss"])) < 1e-5
+    err = _max_leaf_err(jax.device_get(pp_state.params),
+                        jax.device_get(ref_state.params))
+    assert err < 1e-5, f"multiview pp params diverge: {err}"
+
+
 def test_pp_checkpoint_restore(tmp_path):
     """A checkpoint written unsharded must restore onto a pp-sharded
     template (orbax places each stage's layer slice) and train."""
