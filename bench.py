@@ -64,7 +64,7 @@ CACHE_PATH = pathlib.Path(__file__).parent / ".bench_cache.json"
 
 # quiet-window sanity ceilings (~2x known-good): timings above these mean
 # the window was contended and the value is not representative
-SANE = {"sampler": 25.0, "vae": 4.0, "train": 1.0, "encode": 8.0}
+SANE = {"sampler": 25.0, "sampler_pab": 25.0, "vae": 4.0, "train": 1.0, "encode": 8.0}
 
 
 def _remaining() -> float:
@@ -126,6 +126,52 @@ def _bench_sampler():
         t_start = time.time()
         out = run(params, ll, key(11 + i))
         float(out.sum())  # force full materialization (block_until_ready can return early)
+        best = min(best, time.time() - t_start)
+        if time.time() > deadline:
+            break
+    return best
+
+
+def _bench_sampler_pab():
+    """Detail-only: the 50-step sampler with PAB attention broadcast
+    (pab_skip=2, window [0.1, 0.85) — 24 of 50 steps reuse cached
+    attention). An APPROXIMATE serving mode (sample.py SamplerConfig);
+    the headline number stays the exact sampler."""
+    from orv_tpu.pipelines.sample import SamplerConfig, make_sampler
+    from orv_tpu.schedulers import make_schedule
+
+    model = _flagship_model(quant=True)
+    B = 1
+    key = jax.random.PRNGKey
+    lat = jax.random.normal(key(0), (B, LATENT_F, 16, LATENT_H, LATENT_W), jnp.float32)
+    img = jax.random.normal(key(1), lat.shape, jnp.bfloat16)
+    enc = jax.random.normal(key(2), (B, 226, 4096), jnp.bfloat16)
+    acts = jax.random.normal(key(3), (B, 48, 7), jnp.bfloat16)
+    dep = jax.random.normal(key(4), (B, LATENT_F, 32, LATENT_H, LATENT_W), jnp.bfloat16)
+    lab = jax.random.normal(key(5), dep.shape, jnp.bfloat16)
+
+    print("bench: init quantized DiT (pab)...", file=sys.stderr, flush=True)
+    t0 = jnp.full((B,), 999, jnp.int32)
+    params = jax.jit(lambda: model.init(
+        key(0), jnp.concatenate([lat, lat], 2).astype(jnp.bfloat16), enc, t0,
+        actions=acts, depths=dep, labels=lab,
+    ))()
+    jax.block_until_ready(params)
+
+    sampler = make_sampler(model.apply, make_schedule(),
+                           SamplerConfig(num_inference_steps=STEPS, pab_skip=2))
+    run = jax.jit(lambda p, l, r: sampler(p, l, img, enc, r, actions=acts,
+                                          depths=dep, labels=lab))
+    print("bench: compiling pab sampler scan (two model variants)...",
+          file=sys.stderr, flush=True)
+    jax.block_until_ready(run(params, lat, key(10)))
+    best = float("inf")
+    deadline = time.time() + _trial_budget()
+    for i in range(3):
+        ll = lat * (1.0 + (i + 1) * 1e-6)
+        t_start = time.time()
+        out = run(params, ll, key(11 + i))
+        float(out.sum())
         best = min(best, time.time() - t_start)
         if time.time() > deadline:
             break
@@ -403,6 +449,14 @@ def _emit(results: dict, cache: dict, incomplete: list) -> None:
         detail["vae_encode_s"] = round(encode_s, 3)
         if encode_stale:
             detail.setdefault("stale", []).append("encode")
+    pab_s, pab_stale = get("sampler_pab", "sampler_pab_s")
+    if pab_s is not None:
+        # APPROXIMATE serving mode (PAB attention broadcast, opt-in) —
+        # informational only, never the headline value above
+        detail["sampler_pab_s"] = round(pab_s, 3)
+        detail["pab_frames_per_s"] = round(NUM_FRAMES / (pab_s + vae_s), 4)
+        if pab_stale:
+            detail.setdefault("stale", []).append("sampler_pab")
     if train_s is not None:
         detail["train_step_s_1p4b_17f"] = round(train_s, 3)
         # 17-frame 480x320 clip -> 5*20*30 = 3000 video tokens + 226 text
@@ -457,7 +511,8 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
         except Exception as e:  # noqa: BLE001
             print(f"bench: {phase} attempt failed: {e}", file=sys.stderr, flush=True)
     if best is not None and best <= sane:
-        key = {"sampler": "sampler_s", "vae": "vae_decode_s", "train": "train_step_s",
+        key = {"sampler": "sampler_s", "sampler_pab": "sampler_pab_s",
+           "vae": "vae_decode_s", "train": "train_step_s",
            "encode": "vae_encode_s"}[phase]
         if cache.get(key) is None or best < float(cache[key]):
             cache[key] = round(best, 4)
@@ -466,7 +521,8 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
     # all windows were contended: prefer the cached quiet-window number
     # (reported stale by _emit) over a garbage figure — unless there is no
     # cache, in which case report the best we saw, honestly
-    key = {"sampler": "sampler_s", "vae": "vae_decode_s", "train": "train_step_s",
+    key = {"sampler": "sampler_s", "sampler_pab": "sampler_pab_s",
+           "vae": "vae_decode_s", "train": "train_step_s",
            "encode": "vae_encode_s"}[phase]
     if cache.get(key) is not None:
         return None
@@ -476,7 +532,8 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--phase":
         phase = sys.argv[2]
-        fn = {"sampler": _bench_sampler, "vae": _bench_vae, "train": _bench_train,
+        fn = {"sampler": _bench_sampler, "sampler_pab": _bench_sampler_pab,
+              "vae": _bench_vae, "train": _bench_train,
               "encode": _bench_encode}[phase]
         print(fn())
         return
@@ -546,11 +603,14 @@ def main():
         ("train", dict(max_attempts=2, first_timeout=600.0)),
     ] + ([("encode", dict(ladder=[(8,), (4,), (2,)], max_attempts=3,
                           first_timeout=900.0))]
-         if os.environ.get("ORV_TPU_BENCH_ENCODE") == "1" else []):
+         if os.environ.get("ORV_TPU_BENCH_ENCODE") == "1" else []) \
+      + ([("sampler_pab", dict(max_attempts=2, first_timeout=900.0))]
+         if os.environ.get("ORV_TPU_BENCH_PAB") == "1" else []):
         if _remaining() < 90.0:
             break
         val = _phase_with_retries(phase, cache, **kwargs)
-        key = {"sampler": "sampler_s", "vae": "vae_decode_s", "train": "train_step_s",
+        key = {"sampler": "sampler_s", "sampler_pab": "sampler_pab_s",
+           "vae": "vae_decode_s", "train": "train_step_s",
            "encode": "vae_encode_s"}[phase]
         if val is not None or cache.get(key) is not None:
             # measured fresh, or a cached quiet-window number stands in

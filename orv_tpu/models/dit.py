@@ -87,7 +87,11 @@ class DiTConfig:
 
 
 class _BlockCell(nn.Module):
-    """One scan step: optional MVBlock then DiTBlock."""
+    """One scan step: optional MVBlock then DiTBlock.
+
+    use_attn_cache / collect_attn (static): PAB attention broadcast — the
+    cell consumes a per-layer cached attention output (extra scan input,
+    in_axes=0) or emits its own as scan ys (see DiTBlock.cached_attn)."""
 
     cfg: DiTConfig
     n_view: int
@@ -97,9 +101,11 @@ class _BlockCell(nn.Module):
     param_dtype: Dtype
     quant: bool = False
     sp_mesh: Optional[Any] = None
+    use_attn_cache: bool = False
+    collect_attn: bool = False
 
     @nn.compact
-    def __call__(self, carry, temb, rope, action_emb, rope_view):
+    def __call__(self, carry, temb, rope, action_emb, rope_view, attn_cache=None):
         hidden, enc = carry
         c = self.cfg
         kw = dict(attn_impl=self.attn_impl, dtype=self.dtype, param_dtype=self.param_dtype)
@@ -112,12 +118,19 @@ class _BlockCell(nn.Module):
                 attention_bias=c.attention_bias, norm_eps=c.norm_eps,
                 quant=self.quant, name="mv_block", **kw,
             )(hidden, enc, temb, rope_view, self.n_view, self.n_frame)
-        hidden, enc = DiTBlock(
+        block = DiTBlock(
             dim=c.inner_dim, heads=c.num_attention_heads, head_dim=c.attention_head_dim,
             time_embed_dim=c.time_embed_dim, modulate_enc=c.modulate_encoder_hidden_states,
             attention_bias=c.attention_bias, norm_eps=c.norm_eps,
             quant=self.quant, sp_mesh=self.sp_mesh, name="block", **kw,
-        )(hidden, enc, temb, rope, action_emb)
+        )
+        out = block(hidden, enc, temb, rope, action_emb,
+                    cached_attn=attn_cache if self.use_attn_cache else None,
+                    return_attn=self.collect_attn)
+        if self.collect_attn:
+            hidden, enc, attn_out = out
+            return (hidden, enc), attn_out
+        hidden, enc = out
         return (hidden, enc), None
 
 
@@ -161,6 +174,8 @@ class ControlDiT(nn.Module):
         temb_in: Optional[jnp.ndarray] = None,
         action_emb_in: Optional[jnp.ndarray] = None,
         post_dims: Optional[Tuple[int, int, int]] = None,
+        attn_cache: Optional[Any] = None,
+        collect_attn: bool = False,
     ):
         # control_cache / controls_only: the visual-control patch embeds
         # depend only on (depths, labels) — not the denoised latents or the
@@ -329,27 +344,37 @@ class ControlDiT(nn.Module):
             return hidden, enc, temb, action_emb, is_action_mask, actions_recon
 
         # 5. block stack (scanned; optional per-block remat)
+        if (attn_cache is not None or collect_attn) and c.multiview:
+            raise NotImplementedError("PAB attention broadcast does not "
+                                      "cover the multiview MVBlock path")
         cell = _BlockCell
         if self.remat:
             policy = None
             if self.remat_policy == "dots":
                 policy = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
             cell = nn.remat(cell, prevent_cse=False, policy=policy)
+        in_axes = (nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast)
+        scan_args = [temb, image_rotary_emb, action_emb, image_rotary_emb_view]
+        if attn_cache is not None:
+            # per-layer cached attention outputs ride the scan (in_axes=0)
+            in_axes = in_axes + (0,)
+            scan_args.append(attn_cache)
         stack = nn.scan(
             cell,
             variable_axes={"params": 0},
             split_rngs={"params": True},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=in_axes,
             length=c.num_layers,
             metadata_params={nn.meta.PARTITION_NAME: "layers"},
         )(
             cfg=c, n_view=num_views, n_frame=num_frames, attn_impl=self.attn_impl,
             dtype=self.dtype, param_dtype=self.param_dtype, quant=self.quant,
-            sp_mesh=self.sp_mesh, name="blocks",
+            sp_mesh=self.sp_mesh, use_attn_cache=attn_cache is not None,
+            collect_attn=collect_attn, name="blocks",
         )
-        (hidden, enc), _ = stack(
-            (hidden, enc), temb, image_rotary_emb, action_emb, image_rotary_emb_view
-        )
+        (hidden, enc), attn_stack = stack((hidden, enc), *scan_args)
 
         output = _head(hidden, enc, temb, action_emb, num_frames, height, width)
+        if collect_attn:
+            return output, is_action_mask, actions_recon, attn_stack
         return output, is_action_mask, actions_recon

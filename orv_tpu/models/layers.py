@@ -98,7 +98,11 @@ class AdaLNZero(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, enc, temb, action_emb=None):
+    def __call__(self, hidden, enc, temb, action_emb=None, gates_only: bool = False):
+        # gates_only: skip the (expensive) token-stream norm+modulate and
+        # return (None, None, gate, enc_gate) — the PAB attention-broadcast
+        # path (pipelines/sample.py) reuses cached attention outputs but
+        # still needs the step-dependent residual gates
         dim = self.embedding_dim
         n_chunks = 6 if self.modulate_enc else 3
         kernel = self.param(
@@ -144,36 +148,43 @@ class AdaLNZero(nn.Module):
             temb_f = temb_f.astype(self.dtype)
             vid = temb_f @ kernel[:, : 3 * dim] + lbias[: 3 * dim]  # [B, F, 3D]
             shift, scale, gate = jnp.split(vid, 3, axis=-1)
-            B, S, D = hidden.shape
-            num_frames = action_emb.shape[1]
-            hidden_f = hidden.reshape(B * num_frames, S // num_frames, D)
-            hidden = mod_rows(hidden_f, scale.reshape(B * num_frames, D),
-                              shift.reshape(B * num_frames, D))
-            if isinstance(hidden, tuple):  # emit_q8: (xq, per-token scale)
-                hidden = (hidden[0].reshape(B, S, D), hidden[1].reshape(B, S))
-            else:
-                hidden = hidden.reshape(B, S, D)
+            if not gates_only:
+                B, S, D = hidden.shape
+                num_frames = action_emb.shape[1]
+                hidden_f = hidden.reshape(B * num_frames, S // num_frames, D)
+                hidden = mod_rows(hidden_f, scale.reshape(B * num_frames, D),
+                                  shift.reshape(B * num_frames, D))
+                if isinstance(hidden, tuple):  # emit_q8: (xq, per-token scale)
+                    hidden = (hidden[0].reshape(B, S, D), hidden[1].reshape(B, S))
+                else:
+                    hidden = hidden.reshape(B, S, D)
             gate = gate[:, :, None, :]  # [B, F, 1, D] — applied frame-blocked
             if self.modulate_enc:
                 txt = nn.silu(temb.astype(jnp.float32)).astype(self.dtype) @ kernel[:, 3 * dim :] \
                     + lbias[3 * dim :]
                 enc_shift, enc_scale, enc_gate = jnp.split(txt, 3, axis=-1)
-                enc = mod(enc, enc_scale[:, None, :], enc_shift[:, None, :])
+                if not gates_only:
+                    enc = mod(enc, enc_scale[:, None, :], enc_shift[:, None, :])
                 enc_gate = enc_gate[:, None, :]
-            else:
+            elif not gates_only:
                 enc = norm(enc)
         else:
             out = nn.silu(temb.astype(jnp.float32)).astype(self.dtype) @ kernel + lbias
             if self.modulate_enc:
                 shift, scale, gate, enc_shift, enc_scale, enc_gate = jnp.split(out, 6, axis=-1)
-                enc = mod(enc, enc_scale[:, None, :], enc_shift[:, None, :])
+                if not gates_only:
+                    enc = mod(enc, enc_scale[:, None, :], enc_shift[:, None, :])
                 enc_gate = enc_gate[:, None, :]
             else:
                 shift, scale, gate = jnp.split(out, 3, axis=-1)
-                enc = norm(enc)
-            hidden = mod_rows(hidden, scale, shift)
+                if not gates_only:
+                    enc = norm(enc)
+            if not gates_only:
+                hidden = mod_rows(hidden, scale, shift)
             gate = gate[:, None, :]
 
+        if gates_only:
+            return None, None, gate, enc_gate
         return hidden, enc, gate, enc_gate
 
 
@@ -474,7 +485,14 @@ class DiTBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, hidden, enc, temb, rope=None, action_emb=None):
+    def __call__(self, hidden, enc, temb, rope=None, action_emb=None,
+                 cached_attn=None, return_attn: bool = False):
+        # cached_attn / return_attn: PAB attention broadcast (Pyramid
+        # Attention Broadcast, arxiv 2408.12588; pipelines/sample.py).
+        # cached_attn=(attn_h, attn_e) substitutes a previous step's
+        # pre-gate attention outputs — norm1 then runs gates_only and the
+        # whole QKV/attention/out-proj is skipped statically. return_attn
+        # additionally returns this block's (attn_h, attn_e) for caching.
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         fused = self.quant or _fused_adaln_ok()
         norm1 = AdaLNZero(self.time_embed_dim, self.dim, self.modulate_enc,
@@ -488,8 +506,13 @@ class DiTBlock(nn.Module):
                               quant=self.quant, sp_mesh=self.sp_mesh, name="attn1", **kw)
         ff = FeedForward(self.dim, quant=self.quant, name="ff", **kw)
 
-        n_hidden, n_enc, gate, enc_gate = norm1(hidden, enc, temb, action_emb)
-        attn_h, attn_e = attn(n_hidden, n_enc if self.modulate_enc else None, rope)
+        if cached_attn is not None:
+            _, _, gate, enc_gate = norm1(hidden, enc, temb, action_emb,
+                                         gates_only=True)
+            attn_h, attn_e = cached_attn
+        else:
+            n_hidden, n_enc, gate, enc_gate = norm1(hidden, enc, temb, action_emb)
+            attn_h, attn_e = attn(n_hidden, n_enc if self.modulate_enc else None, rope)
         hidden = gate_residual_add(hidden, attn_h, gate, fused=fused)
         if self.modulate_enc:
             enc = gate_residual_add(enc, attn_e, enc_gate, fused=fused)
@@ -506,6 +529,8 @@ class DiTBlock(nn.Module):
                 ff_out = ff(jnp.concatenate([n_enc, n_hidden], axis=1))
             hidden = gate_residual_add(hidden, ff_out[:, text_len:], gate_ff, fused=fused)
             enc = gate_residual_add(enc, ff_out[:, :text_len], enc_gate_ff, fused=fused)
+        if return_attn:
+            return hidden, enc, (attn_h, attn_e)
         return hidden, enc
 
 

@@ -179,6 +179,11 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
             guidance_scale=float(ev.get("guidance_scale", 1.0)),
             use_dynamic_cfg=bool(ev.get("use_dynamic_cfg", False)),
             scheduler=ev.get("scheduler", "dpm"),
+            # opt-in PAB attention broadcast (approximate serving
+            # acceleration; evaluation.pab_skip > 0 enables)
+            pab_skip=int(ev.get("pab_skip", 0)),
+            pab_start=float(ev.get("pab_start", 0.1)),
+            pab_end=float(ev.get("pab_end", 0.85)),
         ),
     )
     sample_jit = jax.jit(sampler, static_argnames=("num_views",))

@@ -41,6 +41,18 @@ class SamplerConfig:
     stochastic_dpm: bool = True  # reference DPM step always injects noise
     vae_scaling_factor: float = 1.15258426
     invert_scale_latents: bool = False
+    # PAB attention broadcast (Pyramid Attention Broadcast, arxiv
+    # 2408.12588): attention outputs drift little between adjacent denoise
+    # steps in the middle of the trajectory, so full attention is computed
+    # every (pab_skip+1)-th step inside [pab_start, pab_end)·n and the
+    # cached per-layer outputs are reused in between (gates/FF/projection
+    # stay exact per step). pab_skip=0 (default) disables it — this is an
+    # opt-in APPROXIMATION for serving; bench.py's headline number never
+    # uses it. Broadcast steps skip the QKV/attention/out-proj entirely
+    # (statically, via lax.cond over two model variants).
+    pab_skip: int = 0
+    pab_start: float = 0.1
+    pab_end: float = 0.85
 
 
 def preprocess_video(
@@ -131,6 +143,19 @@ def prepare_control_latents(
     return jnp.concatenate([x, x], axis=2)
 
 
+def pab_full_flags(n: int, skip: int, start_frac: float, end_frac: float):
+    """Per-step full-attention flags for PAB: outside [w0, w1) every step
+    is full; inside, full every (skip+1)-th step. Step 0 is always full
+    (the cache must be populated before the first reuse)."""
+    w0 = max(1, int(round(start_frac * n)))
+    w1 = min(n, int(round(end_frac * n)))
+    flags = np.ones(n, dtype=bool)
+    for i in range(w0, w1):
+        flags[i] = (i - w0) % (skip + 1) == 0
+    flags[0] = True
+    return flags
+
+
 def make_sampler(
     model_apply: Callable,
     schedule: DiffusionSchedule,
@@ -156,6 +181,11 @@ def make_sampler(
     else:
         gs = np.full((n,), config.guidance_scale)
     gs_arr = jnp.asarray(gs, dtype=jnp.float32)
+
+    pab = config.pab_skip > 0
+    if pab:
+        pab_flags = jnp.asarray(pab_full_flags(
+            n, config.pab_skip, config.pab_start, config.pab_end))
 
     def sample(
         params,
@@ -198,13 +228,16 @@ def make_sampler(
             )
 
         def body(carry, inp):
-            lat, old = carry
-            t, t_back, t_prev, ho, g, step_rng = inp
+            if pab:
+                lat, old, attn_cache = carry
+                t, t_back, t_prev, ho, g, step_rng, full_step = inp
+            else:
+                lat, old = carry
+                t, t_back, t_prev, ho, g, step_rng = inp
             model_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
             model_in = jnp.concatenate([model_in, image_in], axis=2)
             t_b = jnp.broadcast_to(t, (model_in.shape[0],))
-            v_pred, _, _ = model_apply(
-                params, model_in.astype(image_in.dtype), prompt_in, t_b,
+            apply_kwargs = dict(
                 actions=actions_in,
                 depths=None if control_cache is not None else depths_in,
                 labels=None if control_cache is not None else labels_in,
@@ -212,6 +245,29 @@ def make_sampler(
                 image_rotary_emb=image_rotary_emb, num_views=num_views,
                 deterministic=True,
             )
+            if pab:
+                # two statically distinct model variants under lax.cond:
+                # full steps recompute attention and refresh the per-layer
+                # cache; broadcast steps consume it and skip attention
+                def _full(cache):
+                    v, _, _, ys = model_apply(
+                        params, model_in.astype(image_in.dtype), prompt_in,
+                        t_b, collect_attn=True, **apply_kwargs)
+                    return v, ys
+
+                def _reuse(cache):
+                    v, _, _ = model_apply(
+                        params, model_in.astype(image_in.dtype), prompt_in,
+                        t_b, attn_cache=cache, **apply_kwargs)
+                    return v, cache
+
+                v_pred, attn_cache = jax.lax.cond(full_step, _full, _reuse,
+                                                  attn_cache)
+            else:
+                v_pred, _, _ = model_apply(
+                    params, model_in.astype(image_in.dtype), prompt_in, t_b,
+                    **apply_kwargs,
+                )
             v_pred = v_pred.astype(jnp.float32)
             if do_cfg:
                 v_uncond, v_text = jnp.split(v_pred, 2, axis=0)
@@ -228,14 +284,39 @@ def make_sampler(
             else:
                 new_lat = ddim_step(schedule, v_pred, t, t_prev, lat)
                 x0 = old  # unused carry slot
+            if pab:
+                return (new_lat, x0, attn_cache), None
             return (new_lat, x0), None
 
         step_rngs = jax.random.split(rng, n)
         lat0 = latents.astype(jnp.float32)
-        (lat, _), _ = jax.lax.scan(
-            body, (lat0, jnp.zeros_like(lat0)),
-            (ts_arr, back_arr, prev_arr, have_old, gs_arr, step_rngs),
-        )
+        carry0 = (lat0, jnp.zeros_like(lat0))
+        xs = (ts_arr, back_arr, prev_arr, have_old, gs_arr, step_rngs)
+        if pab:
+            if num_views > 1:
+                raise NotImplementedError("PAB attention broadcast is "
+                                          "single-view (MVBlock not covered)")
+            # zero-initialized per-layer attention cache with the collect
+            # variant's structure (step 0 is always a full step, so the
+            # zeros are never consumed)
+            mi0 = jnp.concatenate([lat0, lat0], axis=0) if do_cfg else lat0
+            mi0 = jnp.concatenate([mi0, image_in], axis=2).astype(image_in.dtype)
+            t0 = jnp.broadcast_to(ts_arr[0], (mi0.shape[0],))
+            cache_shapes = jax.eval_shape(
+                lambda p, mi, tt: model_apply(
+                    p, mi, prompt_in, tt, collect_attn=True,
+                    actions=actions_in,
+                    depths=None if control_cache is not None else depths_in,
+                    labels=None if control_cache is not None else labels_in,
+                    control_cache=control_cache,
+                    image_rotary_emb=image_rotary_emb, num_views=num_views,
+                    deterministic=True,
+                )[3], params, mi0, t0)
+            cache0 = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), cache_shapes)
+            carry0 = carry0 + (cache0,)
+            xs = xs + (pab_flags,)
+        (lat, *_), _ = jax.lax.scan(body, carry0, xs)
         return lat
 
     return sample

@@ -22,4 +22,6 @@ run train_fused 1200 ORV_TPU_FUSED_ADALN=1 -- train
 run train_xla   1200 ORV_TPU_FUSED_ADALN=0 -- train
 log "=== encode chunk 8 ==="
 run encode 1800 -- encode 8
+log "=== pab sampler (approximate serving mode, detail-only) ==="
+run sampler_pab 1800 -- sampler_pab
 log "=== done ==="

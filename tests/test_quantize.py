@@ -253,3 +253,21 @@ def test_fused_gated_residual_grads_match_xla():
     for name, a, b in zip(("dx", "dy", "dgate"), g_ref, g_fus):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=1e-5, rtol=1e-5, err_msg=name)
+
+
+def test_quant_pab_cache_exact(small_dit_inputs):
+    """PAB attention broadcast on the int8 serving model: with identical
+    inputs the cached path (gates_only adaLN, no q8 emission, attention
+    skipped) must reproduce the quantized full forward exactly."""
+    cfg, (x, enc, t, acts, d, l) = small_dit_inputs
+    mq = ControlDiT(cfg, dtype=jnp.float32, attn_impl="xla", quant=True)
+    m = ControlDiT(cfg, dtype=jnp.float32, attn_impl="xla")
+    p = m.init(jax.random.PRNGKey(0), x, enc, t, actions=acts, depths=d, labels=l)
+    pq = quantize_linear_params(p)
+    ref, _, _ = mq.apply(pq, x, enc, t, actions=acts, depths=d, labels=l)
+    full, _, _, ys = mq.apply(pq, x, enc, t, actions=acts, depths=d, labels=l,
+                              collect_attn=True)
+    assert float(jnp.max(jnp.abs(full - ref))) == 0.0
+    cached, _, _ = mq.apply(pq, x, enc, t, actions=acts, depths=d, labels=l,
+                            attn_cache=ys)
+    assert float(jnp.max(jnp.abs(cached - ref))) == 0.0

@@ -172,3 +172,111 @@ def test_full_denoise_fused_adaln_matches_xla(setup):
     assert bool(jnp.all(jnp.isfinite(fus)))
     np.testing.assert_allclose(np.asarray(fus), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# PAB attention broadcast (arxiv 2408.12588) — opt-in serving approximation
+# ---------------------------------------------------------------------------
+
+def test_pab_full_flags_schedule():
+    from orv_tpu.pipelines.sample import pab_full_flags
+
+    f = pab_full_flags(10, 2, 0.1, 0.85)
+    # outside the window every step is full; inside, every 3rd
+    np.testing.assert_array_equal(
+        f.astype(int), [1, 1, 0, 0, 1, 0, 0, 1, 1, 1])
+    assert pab_full_flags(10, 2, 0.0, 1.0)[0]  # step 0 always full
+    # empty window -> all full
+    assert pab_full_flags(10, 3, 1.0, 1.0).all()
+
+
+def test_pab_model_cache_is_exact(setup):
+    """With identical inputs, consuming the collected attention cache must
+    reproduce the full forward bit-for-bit (gates_only adaLN + cached
+    attention == full computation)."""
+    model, params = setup
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 32, 8, 16))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 32))
+    t = jnp.array([500], jnp.int32)
+    acts = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 7)) * 0.1
+    ref, _, _ = model.apply(params, x, enc, t, actions=acts)
+    full, _, _, ys = model.apply(params, x, enc, t, actions=acts,
+                                 collect_attn=True)
+    assert float(jnp.max(jnp.abs(full - ref))) == 0.0
+    cached, _, _ = model.apply(params, x, enc, t, actions=acts, attn_cache=ys)
+    assert float(jnp.max(jnp.abs(cached - ref))) == 0.0
+
+
+def test_pab_empty_window_matches_baseline(setup):
+    """pab_skip > 0 with an empty broadcast window runs the PAB machinery
+    (cond + cache carry) but every step is full -> exact baseline output."""
+    model, params = setup
+    lat = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 16, 8, 16))
+    img = jax.random.normal(jax.random.PRNGKey(5), lat.shape) * 0.1
+    enc = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 32))
+    sched = make_schedule()
+    ref = jax.jit(make_sampler(model.apply, sched,
+                               SamplerConfig(num_inference_steps=5)))(
+        params, lat, img, enc, jax.random.PRNGKey(7))
+    out = jax.jit(make_sampler(model.apply, sched,
+                               SamplerConfig(num_inference_steps=5, pab_skip=2,
+                                             pab_start=1.0)))(
+        params, lat, img, enc, jax.random.PRNGKey(7))
+    assert float(jnp.max(jnp.abs(out - ref))) == 0.0
+
+
+def test_pab_active_sampler_runs_and_reuses(setup):
+    """Active broadcasting: finite output that differs from the exact
+    sampler (attention reused on the skip steps)."""
+    model, params = setup
+    lat = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 16, 8, 16))
+    img = jax.random.normal(jax.random.PRNGKey(5), lat.shape) * 0.1
+    enc = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 32))
+    sched = make_schedule()
+    ref = jax.jit(make_sampler(model.apply, sched,
+                               SamplerConfig(num_inference_steps=6)))(
+        params, lat, img, enc, jax.random.PRNGKey(7))
+    out = jax.jit(make_sampler(model.apply, sched,
+                               SamplerConfig(num_inference_steps=6, pab_skip=2,
+                                             pab_start=0.2, pab_end=0.9)))(
+        params, lat, img, enc, jax.random.PRNGKey(7))
+    assert bool(jnp.isfinite(out).all())
+    assert float(jnp.max(jnp.abs(out - ref))) > 0.0
+
+
+def test_pab_reuse_step_semantics(setup):
+    """flags=[full, full, reuse]: the sampler's reuse step must equal a
+    manual replay that feeds the last full step's collected attention."""
+    from orv_tpu.pipelines.sample import pab_full_flags
+    from orv_tpu.schedulers.scheduling import dpm_step_scan, get_inference_timesteps
+
+    model, params = setup
+    lat0 = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 16, 8, 16))
+    img = jax.random.normal(jax.random.PRNGKey(5), lat0.shape) * 0.1
+    enc = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 32))
+    sched = make_schedule()
+    flags = pab_full_flags(3, 2, 1 / 3, 1.0)
+    np.testing.assert_array_equal(flags.astype(int), [1, 1, 0])
+    cfgs = SamplerConfig(num_inference_steps=3, pab_skip=2, pab_start=1 / 3,
+                         pab_end=1.0, stochastic_dpm=False)
+    out = jax.jit(make_sampler(model.apply, sched, cfgs))(
+        params, lat0, img, enc, jax.random.PRNGKey(7))
+
+    # manual replay mirroring the flags
+    ts = get_inference_timesteps(sched, 3)
+    lat = lat0.astype(jnp.float32)
+    old = jnp.zeros_like(lat)
+    cache = None
+    for i, t in enumerate(ts):
+        mi = jnp.concatenate([lat, img.astype(lat.dtype)], axis=2).astype(img.dtype)
+        tb = jnp.full((1,), t, jnp.int32)
+        if flags[i]:
+            v, _, _, cache = model.apply(params, mi, enc, tb, collect_attn=True)
+        else:
+            v, _, _ = model.apply(params, mi, enc, tb, attn_cache=cache)
+        t_prev = ts[i + 1] if i + 1 < len(ts) else -1
+        t_back = ts[i - 1] if i > 0 else ts[0]
+        lat, old = dpm_step_scan(sched, v.astype(jnp.float32), old,
+                                 jnp.asarray(i > 0), jnp.asarray(t),
+                                 jnp.asarray(t_back), jnp.asarray(t_prev), lat)
+    assert float(jnp.max(jnp.abs(out - lat))) < 1e-5
