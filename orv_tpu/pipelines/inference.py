@@ -40,6 +40,7 @@ def generate_video(
     guidance_scale: float = 1.0,
     scaling_factor: float = 1.15258426,
     seed: int = 42,
+    pab_skip: int = 0,  # PAB attention broadcast (approximate; sample.py)
 ):
     """-> video [C, T, H, W] f32 in [-1, 1]."""
     H, W = ref_image.shape[:2]
@@ -61,7 +62,7 @@ def generate_video(
         lambda p, *a, **k: ControlDiT(dit_cfg, dtype=jnp.bfloat16).apply(p, *a, **k),
         make_schedule(),
         SamplerConfig(num_inference_steps=num_inference_steps,
-                      guidance_scale=guidance_scale),
+                      guidance_scale=guidance_scale, pab_skip=pab_skip),
     )
     noise = jax.random.normal(r_noise, (1, F_lat, dit_cfg.out_channels, h, w))
     kwargs = {}
@@ -86,6 +87,8 @@ def main(argv=None):
     p.add_argument("--output_dir", default="demo_outputs")
     p.add_argument("--num_frames", type=int, default=17)
     p.add_argument("--num_inference_steps", type=int, default=50)
+    p.add_argument("--pab_skip", type=int, default=0,
+                   help="PAB attention broadcast (0=off, approximate)")
     p.add_argument("--episode", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -129,6 +132,7 @@ def main(argv=None):
         dit_cfg, params, vae, vae_params, item["ref_image"], item.get("actions"),
         prompt_embeds, num_frames=args.num_frames,
         num_inference_steps=args.num_inference_steps,
+        pab_skip=args.pab_skip,
     )
     name = item["metainfo"]["episode_id"]
     save_video(str(out_dir / f"{name}.mp4"), to_uint8(video))

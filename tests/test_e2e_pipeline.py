@@ -351,3 +351,44 @@ def test_encode_raw_streams_long_clips():
     assert np.isfinite(out["latents"]).all()
     # short ref image stays on the exact full-clip path
     assert out["image_latents"].shape == (1, 32, 1, 4, 4)
+
+
+def test_generate_video_demo_entry():
+    """pipelines/inference.generate_video end-to-end on tiny shapes
+    (reference demo entry inference_control_to_video.py) — incl. the
+    opt-in PAB path."""
+    import numpy as np
+
+    from orv_tpu.models import DiTConfig
+    from orv_tpu.models.vae import CausalVAE, VAEConfig
+    from orv_tpu.pipelines.inference import generate_video
+
+    tiny_vae = VAEConfig(block_out_channels=(8, 16, 16, 32), layers_per_block=1,
+                         norm_num_groups=4, latent_channels=16)
+    vae = CausalVAE(tiny_vae, dtype=jnp.float32)
+    vparams = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, 32, 32)))
+    dit_cfg = DiTConfig(
+        num_attention_heads=2, attention_head_dim=16, num_layers=2,
+        in_channels=32, out_channels=16, text_embed_dim=32, time_embed_dim=64,
+        max_text_seq_length=8, sample_width=8, sample_height=8,
+    )
+    from orv_tpu.models import ControlDiT
+
+    model = ControlDiT(dit_cfg, dtype=jnp.bfloat16)
+    F = 5  # -> 2 latent frames? (8n+1 rule: 5 -> 2); keep odd & small
+    ref = np.random.RandomState(0).uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    acts = np.random.RandomState(1).uniform(-1, 1, (F - 1, 7)).astype(np.float32) * 0.1
+    pe = np.random.RandomState(2).normal(size=(8, 32)).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, (F - 1) // 4 + 1, 32, 4, 4), jnp.bfloat16),
+        jnp.zeros((1, 8, 32), jnp.bfloat16),
+        jnp.zeros((1,), jnp.int32), actions=jnp.asarray(acts)[None],
+    )
+    for pab in (0, 1):
+        video = generate_video(
+            dit_cfg, params, vae, vparams, ref, acts, pe,
+            num_frames=F, num_inference_steps=3, pab_skip=pab,
+        )
+        assert video.shape[0] == 3 and video.shape[1] >= F
+        assert np.isfinite(video).all()
