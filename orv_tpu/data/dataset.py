@@ -520,7 +520,10 @@ class CascadedRobotDataset(RobotDataset):
             if len(frame_ids) != cfg.sequence_length:
                 continue
             if cfg.vae_has_first_single_frame:
-                frame_ids.insert(0, frame_i - cfg.sequence_interval)
+                # the regrown last chunk can start before one interval of
+                # history exists (back_start < interval) — clamp instead of
+                # letting numpy fancy-indexing wrap -1 to the episode END
+                frame_ids.insert(0, max(frame_i - cfg.sequence_interval, 0))
             s = self._make_sample(ann, ann_file, frame_ids, True)
             s["sample_index"] = si
             s["is_last"] = si == len(starts) - 1

@@ -638,10 +638,7 @@ def decode_chunked(vae: "CausalVAE", params, latents, chunk_latent_frames: int =
     return jnp.concatenate(outs, axis=2)
 
 
-import functools as _functools
-
-
-@_functools.lru_cache(maxsize=8)
+@functools.lru_cache(maxsize=8)
 def _decode_chunked_fused(vae: "CausalVAE", chunk_latent_frames: int, shape):
     """Build (and cache) the single-dispatch chunked decode for a latent
     shape: the chunk loop unrolls at trace time, conv caches thread

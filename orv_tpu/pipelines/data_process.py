@@ -128,7 +128,15 @@ def extract(
             ann_path = Path(out_root) / "annotations" / split / f"{ep['episode_id']}.json"
             if ann_path.exists():
                 continue
-            p = write_episode(ep, out_root, split)
+            try:
+                p = write_episode(ep, out_root, split)
+            except Exception as e:  # noqa: BLE001 — a bad episode must not
+                # kill the worker: with the pool dead the bounded q.put in
+                # the producer blocks forever and the sentinels never land
+                CONSOLE.log(f"[yellow]extract: episode "
+                            f"{ep.get('episode_id')} failed: "
+                            f"{type(e).__name__}: {e} — skipped")
+                continue
             with lock:
                 written.append(p)
 

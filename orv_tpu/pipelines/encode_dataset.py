@@ -29,18 +29,19 @@ from orv_tpu.models.vae import CausalVAE, VAEConfig
 from orv_tpu.utils.logging import CONSOLE
 
 
-def read_video_frames(path: str, frame_ids: List[int], size_hw) -> np.ndarray:
-    """video file -> [F, H, W, 3] float32 in [-1, 1], resized to size_hw."""
-    import cv2
-
+def read_video_frames(path: str, frame_ids: List[int], size_hw,
+                      ori_size=None) -> np.ndarray:
+    """video file -> [F, H, W, 3] float32 in [-1, 1] via the SAME
+    aspect-preserving resize + center crop the raw-frame dataset loader
+    applies (data/dataset.py video_transform) — a direct squash here would
+    spatially misalign the video latents against the cond latents and the
+    load_tensors:false eval path."""
+    from orv_tpu.data.dataset import video_transform
     from orv_tpu.utils.video import read_video
 
-    frames = read_video(path, frame_ids).astype(np.float32) / 255.0
-    out = np.stack([
-        cv2.resize(f, (size_hw[1], size_hw[0]), interpolation=cv2.INTER_AREA)
-        for f in frames
-    ])
-    return out * 2.0 - 1.0
+    frames = read_video(path, frame_ids)  # [F, H, W, 3] uint8
+    out = video_transform(frames, ori_size, size_hw)  # [F, 3, H', W']
+    return out.transpose(0, 2, 3, 1)
 
 
 def encode_split(
@@ -109,45 +110,58 @@ def encode_split(
             name = ds._sample_name(sample, view=view)
             lat_path = out_root / "latents" / f"{name}.npz"
             img_path = out_root / "image_latents" / f"{name}.npz"
-            if lat_path.exists() and img_path.exists() and not overwrite:
+            # reference observations = the first r raw frames (dataset.py
+            # :609-633 num_observation); r>1 files carry a _ref{r} suffix.
+            # View 0 keeps the historical no-view name (what the
+            # single-view loader reads); other views get the view suffix
+            # so multiview episodes don't silently overwrite each other.
+            ref_name = (ds._sample_name(sample) if view == 0
+                        else ds._sample_name(sample, view=view))
+            ref_paths = {r: (img_path if r <= 1 else out_root / "image_latents"
+                             / f"{ref_name}_ref{r}.npz") for r in ref_nums}
+            # per-output skip-if-exists: a re-run with MORE flags (extra
+            # --ref_nums, --encode_conds) must backfill exactly the missing
+            # files, not skip the whole sample because latents exist
+            need_lat = overwrite or not lat_path.exists()
+            need_refs = {r: p for r, p in ref_paths.items()
+                         if overwrite or not p.exists()}
+            cond_paths = {k: out_root / f"{k}_latents" / f"{name}.npz"
+                          for k in control_keys} if encode_conds else {}
+            need_conds = {k: p for k, p in cond_paths.items()
+                          if overwrite or not p.exists()}
+            if not (need_lat or need_refs or need_conds):
                 skipped += 1
                 continue
             if isinstance(video_file, dict):
                 video_file = video_file.get("video_path")
             if video_file is None:
                 continue
-            video_path = str(Path(d.data_root) / video_file)
-            frames = read_video_frames(video_path, sample["frame_ids"], (H, W))
-            clip = jnp.asarray(frames.transpose(3, 0, 1, 2))[None]  # [1, C, F, H, W]
-            moments = np.asarray(encode(vae_params, clip)[0], dtype=np.float32)
-            np.savez(lat_path, moments)
-            for r in ref_nums:
-                # reference observations = the first r raw frames (dataset.py
-                # :609-633 num_observation); r>1 files carry a _ref{r} suffix.
-                # View 0 keeps the historical no-view name (what the
-                # single-view loader reads); other views get the view suffix
-                # so multiview episodes don't silently overwrite each other.
-                ref_name = (ds._sample_name(sample) if view == 0
-                            else ds._sample_name(sample, view=view))
-                rp = img_path if r <= 1 else (
-                    out_root / "image_latents" / f"{ref_name}_ref{r}.npz")
+            if need_lat or need_refs:
+                video_path = str(Path(d.data_root) / video_file)
+                frames = read_video_frames(video_path, sample["frame_ids"],
+                                           (H, W), ori_size=ds_cfg.ori_size)
+            if need_lat:
+                clip = jnp.asarray(frames.transpose(3, 0, 1, 2))[None]  # [1, C, F, H, W]
+                np.savez(lat_path,
+                         np.asarray(encode(vae_params, clip)[0], dtype=np.float32))
+            for r, rp in need_refs.items():
                 ref = jnp.asarray(frames[:r].transpose(3, 0, 1, 2))[None]
                 np.savez(rp, np.asarray(encode(vae_params, ref)[0], dtype=np.float32))
-            if encode_conds:
+            if need_conds:
                 # depth (3-channel expand of the clamped map) and label (color
                 # map) condition latents — reference encode_dataset.py:792-816,
                 # 865-927; inputs come from the dataset's raw cond loader so the
                 # on-disk convention matches _get_cond_frames exactly
                 conds = ds._get_cond_raw(sample, view_ids=(view,))
-                if "depths" in conds:
+                if "depths" in conds and "depth" in need_conds:
                     dep = np.repeat(conds["depths"], 3, axis=1)  # [F,3,H,W]
                     dm = encode(vae_params, jnp.asarray(dep.transpose(1, 0, 2, 3))[None])
-                    np.savez(out_root / "depth_latents" / f"{name}.npz",
+                    np.savez(need_conds["depth"],
                              np.asarray(dm[0], dtype=np.float32))
-                if "labels" in conds:
+                if "labels" in conds and "label" in need_conds:
                     lm = encode(vae_params,
                                 jnp.asarray(conds["labels"].transpose(1, 0, 2, 3))[None])
-                    np.savez(out_root / "label_latents" / f"{name}.npz",
+                    np.savez(need_conds["label"],
                              np.asarray(lm[0], dtype=np.float32))
         done += 1
         if done % 20 == 0:

@@ -210,10 +210,15 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
         F_lat = lat_moments.shape[2]
         H, W = lat_moments.shape[3], lat_moments.shape[4]
         B = lat_moments.shape[0]
+        nv = int(batch.get("num_views", 1))
+        # multiview latents stack views on the frame axis [B, 2C, V*F, ...]:
+        # image latents must pad PER VIEW ([img, pad] x V), and the rotary
+        # table spans one view's F frames — both take the per-view count
+        F_view = F_lat // nv
 
         image_latents = prepare_image_latents(
-            jnp.asarray(batch["image_latents"]), F_lat, r_img,
-            latent_channels=C, scaling_factor=scaling,
+            jnp.asarray(batch["image_latents"]), F_view, r_img,
+            latent_channels=C, num_views=nv, scaling_factor=scaling,
         ).astype(jnp.bfloat16)
         kwargs: Dict[str, Any] = {}
         if "actions" in batch and "traj" in mode:
@@ -231,14 +236,14 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
             from orv_tpu.utils.embeddings import prepare_rotary_positional_embeddings
 
             kwargs["image_rotary_emb"] = prepare_rotary_positional_embeddings(
-                height=H * 8, width=W * 8, num_frames=F_lat,
+                height=H * 8, width=W * 8, num_frames=F_view,
                 patch_size=dit_cfg.patch_size, patch_size_t=dit_cfg.patch_size_t,
                 attention_head_dim=dit_cfg.attention_head_dim,
             )
         prompt_embeds = jnp.asarray(batch["prompt_embeds"]).astype(jnp.bfloat16)
         noise = jax.random.normal(r_noise, (B, F_lat, C, H, W), dtype=jnp.float32)
         latents = sample_jit(params, noise, image_latents, prompt_embeds, r_samp,
-                             num_views=int(batch.get("num_views", 1)), **kwargs)
+                             num_views=nv, **kwargs)
 
         for j, i in enumerate(idxs):
             meta = batch["metainfos"][j]
@@ -264,26 +269,27 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
     return results
 
 
-def _merge_manifests(out_dir: Path, n_proc: int, pid: int) -> None:
-    """Rank 0 merges every process's manifest into one manifest.json
+def _merge_manifests(out_dir: Path, n_proc: int, pid: int,
+                     stem: str = "manifest") -> None:
+    """Rank 0 merges every process's manifest into one {stem}.json
     (reference rank-0 tmp/{rank} merge, evaluation_control_to_video.py:
     409-434). Multi-host runs barrier first so every shard is on disk."""
     if n_proc > 1:
         from jax.experimental import multihost_utils
 
-        multihost_utils.sync_global_devices("orv_tpu_eval_manifests")
+        multihost_utils.sync_global_devices(f"orv_tpu_eval_{stem}")
     if pid != 0:
         return
     merged: List[str] = []
     # merge exactly this run's per-process shards — a bare glob would also
-    # pick up manifest_cascaded.json and stale manifest_{k}.json files left
-    # by an earlier run with more processes
+    # pick up stale {stem}_{k}.json files left by an earlier run with more
+    # processes
     for k in range(n_proc):
-        mf = out_dir / f"manifest_{k}.json"
+        mf = out_dir / f"{stem}_{k}.json"
         if mf.exists():
             with open(mf) as f:
                 merged.extend(json.load(f))
-    with open(out_dir / "manifest.json", "w") as f:
+    with open(out_dir / f"{stem}.json", "w") as f:
         json.dump(sorted(set(merged)), f)
 
 
@@ -299,14 +305,22 @@ def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
     episodes = defaultdict(list)
     for i, s in enumerate(dataset.samples):
         episodes[str(s["episode_id"])].append((s["sample_index"], i))
+    # work-list sharding by EPISODE (a chunk chain must stay on one
+    # process) — mirrors the batch path's indices[pid::n_proc]
+    n_proc, pid = jax.process_count(), jax.process_index()
+    ep_keys = sorted(episodes)[pid::n_proc]
     results = []
     C = dit_cfg.out_channels
 
-    for ep, chunk_list in episodes.items():
+    if dit_cfg.use_rotary_positional_embeddings:
+        from orv_tpu.utils.embeddings import prepare_rotary_positional_embeddings
+    for ep in ep_keys:
+        chunk_list = episodes[ep]
         chunk_list.sort()
         rng, r_ep = jax.random.split(rng)
         image_latents = None
         chunks_out = []
+        chunk_starts = []  # episode-frame start of each chunk (stitch dedup)
         for si, idx in chunk_list:
             item = dataset[idx]
             sample = dataset.samples[idx]
@@ -340,10 +354,26 @@ def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
                     jnp.asarray(item["latents_label"])[None],
                     jax.random.fold_in(r_ctrl, 1), C, scaling,
                 ).astype(jnp.bfloat16)
-            prompt = jnp.asarray(item["prompt_embeds"])[None].astype(jnp.bfloat16)
+            if dit_cfg.use_rotary_positional_embeddings:
+                # batch path parity — without the tables a RoPE model
+                # (PatchEmbed has no learned positions) runs position-blind
+                kwargs["image_rotary_emb"] = prepare_rotary_positional_embeddings(
+                    height=H * 8, width=W * 8, num_frames=F_lat,
+                    patch_size=dit_cfg.patch_size,
+                    patch_size_t=dit_cfg.patch_size_t,
+                    attention_head_dim=dit_cfg.attention_head_dim,
+                )
+            if item.get("prompt_embeds") is not None:
+                prompt = jnp.asarray(item["prompt_embeds"])[None].astype(jnp.bfloat16)
+            else:
+                CONSOLE.log("[yellow]cascaded chunk has no prompt_embeds — "
+                            "substituting ZEROS (see _encode_raw note)")
+                prompt = jnp.zeros((1, dit_cfg.max_text_seq_length,
+                                    dit_cfg.text_embed_dim), jnp.bfloat16)
             noise = jax.random.normal(r_noise, (1, F_lat, C, H, W), dtype=jnp.float32)
             latents = sample_jit(params, noise, image_latents, prompt, r_samp, **kwargs)
             chunks_out.append(np.asarray(latents[0], dtype=np.float32))
+            chunk_starts.append(int(sample.get("start_frame_idx", 0)))
 
             nxt = sample.get("next_start_frame_idx")
             if nxt is not None:
@@ -365,7 +395,8 @@ def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
                 image_latents = jnp.concatenate([ref, pad], axis=1).astype(jnp.bfloat16)
 
         stitched = np.concatenate(chunks_out, axis=0)  # [sum F_lat, C, H, W]
-        np.savez(out_dir / f"{ep}_cascaded_latents.npz", stitched)
+        np.savez(out_dir / f"{ep}_cascaded_latents.npz", stitched,
+                 chunk_starts=np.asarray(chunk_starts))
         if vae is not None:
             videos = []
             from orv_tpu.models.vae import decode_chunked
@@ -374,13 +405,27 @@ def _cascaded_rollout(cfg, dataset, dit_cfg, params, sample_jit, mode, scaling,
                 z = jnp.asarray(ch)[None].transpose(0, 2, 1, 3, 4) / scaling
                 videos.append(np.asarray(
                     decode_chunked(vae, vae_params, z, chunk_latent_frames=6)[0]))
-            video = np.concatenate(videos, axis=1)  # [3, sum T, H, W]
+            # chunks overlap in episode time: chunk j's prepended reference
+            # frame repeats the chaining frame, and the regrown last chunk
+            # (dataset back_start) can rewind by up to span-1 frames — drop
+            # every leading frame already covered by the previous chunk so
+            # the stitched video is monotonic in time (frame k of a chunk
+            # sits at raw index start + k*interval)
+            interval = max(1, int(cfg.dataset.get("sequence_interval", 1)))
+            keep = [videos[0]]
+            prev_end = chunk_starts[0] + (videos[0].shape[1] - 1) * interval
+            for start, v in zip(chunk_starts[1:], videos[1:]):
+                dup = max(0, -(-(prev_end + 1 - start) // interval))  # ceil
+                keep.append(v[:, min(dup, v.shape[1]):])
+                prev_end = start + (v.shape[1] - 1) * interval
+            video = np.concatenate([v for v in keep if v.shape[1]], axis=1)
             save_video(str(out_dir / f"{ep}_cascaded.mp4"), to_uint8(video),
                        int(ev.get("save_fps", 8)), bool(ev.get("save_gif", True)))
         results.append(ep)
         CONSOLE.log(f"cascaded episode {ep}: {len(chunks_out)} chunks")
-    with open(out_dir / "manifest_cascaded.json", "w") as f:
+    with open(out_dir / f"manifest_cascaded_{pid}.json", "w") as f:
         json.dump(results, f)
+    _merge_manifests(out_dir, n_proc, pid, stem="manifest_cascaded")
     CONSOLE.log(f"cascaded evaluation complete: {len(results)} episodes -> {out_dir}")
     return results
 

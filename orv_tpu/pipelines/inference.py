@@ -68,6 +68,16 @@ def generate_video(
     kwargs = {}
     if actions is not None:
         kwargs["actions"] = jnp.asarray(actions)[None].astype(jnp.bfloat16)
+    if dit_cfg.use_rotary_positional_embeddings:
+        # RoPE checkpoints have no learned positions (PatchEmbed) — without
+        # the tables the model runs position-blind
+        from orv_tpu.utils.embeddings import prepare_rotary_positional_embeddings
+
+        kwargs["image_rotary_emb"] = prepare_rotary_positional_embeddings(
+            height=h * 8, width=w * 8, num_frames=F_lat,
+            patch_size=dit_cfg.patch_size, patch_size_t=dit_cfg.patch_size_t,
+            attention_head_dim=dit_cfg.attention_head_dim,
+        )
     latents = jax.jit(sampler)(
         params, noise, image_latents,
         jnp.asarray(prompt_embeds)[None].astype(jnp.bfloat16), r_samp, **kwargs,

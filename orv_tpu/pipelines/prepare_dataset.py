@@ -630,13 +630,12 @@ def build_label_vocab(data_root: str, caption_backend: str = "objects_file",
 
 def generate_colors(n: int = 60) -> List[Tuple[int, int, int]]:
     """Evenly-hued HSV palette, last color black (background) — the
-    reference's 60-color semantic palette (prepare_dataset.py:1436-1448)."""
-    import colorsys
+    reference's 60-color semantic palette (prepare_dataset.py:1436-1448).
+    The wheel itself is the ONE in data/dataset.py (which decodes these
+    colors back at train time) so the two can never desynchronize."""
+    from orv_tpu.data.dataset import generate_colors as _hsv_wheel
 
-    colors = []
-    for i in range(n):
-        r, g, b = colorsys.hsv_to_rgb(i / n, 0.75, 0.95)
-        colors.append((int(r * 255), int(g * 255), int(b * 255)))
+    colors = list(_hsv_wheel(n))
     colors[-1] = (0, 0, 0)
     return colors
 

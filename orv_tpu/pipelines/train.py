@@ -150,7 +150,12 @@ def build_dataset(cfg: Config, split: str = "train", cascaded: bool = False):
 
 
 def prefetch_batches(dataset, sampler, num_threads: int = 2, depth: int = 4) -> Iterator[Dict]:
-    """Threaded loader: index batches -> collated numpy batches."""
+    """Threaded loader: index batches -> collated numpy batches.
+
+    A batch that raises (resample exhaustion, collate shape mismatch) is
+    LOGGED AND SKIPPED instead of silently killing the worker thread — a
+    dead worker pool would leave the main loop blocked on q.get() forever
+    mid-run. Workers forward exceptions only for KeyboardInterrupt."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     it = iter(sampler)
     lock = threading.Lock()
@@ -163,15 +168,29 @@ def prefetch_batches(dataset, sampler, num_threads: int = 2, depth: int = 4) -> 
                 except StopIteration:
                     q.put(None)
                     return
-            q.put(collate_control([dataset[i] for i in idxs]))
+            try:
+                q.put(collate_control([dataset[i] for i in idxs]))
+            except KeyboardInterrupt:
+                q.put(None)
+                raise
+            except Exception as e:  # noqa: BLE001 — skip the bad batch
+                CONSOLE.log(f"[yellow]prefetch: dropping batch {idxs}: "
+                            f"{type(e).__name__}: {e}")
 
     threads = [threading.Thread(target=worker, daemon=True) for _ in range(num_threads)]
     for t in threads:
         t.start()
+    done = 0
     while True:
         b = q.get()
         if b is None:
-            return
+            done += 1
+            # every worker posts one sentinel; the LAST one ends the epoch
+            # (an early single-sentinel return would strand batches the
+            # other workers already queued)
+            if done == num_threads:
+                return
+            continue
         yield b
 
 
@@ -246,10 +265,16 @@ def run_validation(cfg: Config, model: ControlDiT, dit_cfg: DiTConfig, params,
     lat_m = jnp.asarray(batch["latents"][:1])
     C = dit_cfg.out_channels
     F_lat, H, W = lat_m.shape[2], lat_m.shape[3], lat_m.shape[4]
-    image_latents = prepare_image_latents(
-        jnp.asarray(batch["image_latents"][:1]), F_lat, r_img,
-        latent_channels=C, scaling_factor=scaling,
-    ).astype(jnp.bfloat16)
+    # a latents dataset may carry neither image_latents nor prompt_embeds
+    # (the train step tolerates both via zeros — _model_inputs_from_batch);
+    # validation must not crash where training proceeds
+    if batch.get("image_latents") is not None:
+        image_latents = prepare_image_latents(
+            jnp.asarray(batch["image_latents"][:1]), F_lat, r_img,
+            latent_channels=C, scaling_factor=scaling,
+        ).astype(jnp.bfloat16)
+    else:
+        image_latents = jnp.zeros((1, F_lat, C, H, W), jnp.bfloat16)
     kwargs = {}
     if "actions" in batch:
         kwargs["actions"] = jnp.asarray(batch["actions"][:1]).astype(jnp.bfloat16)
@@ -261,7 +286,11 @@ def run_validation(cfg: Config, model: ControlDiT, dit_cfg: DiTConfig, params,
             patch_size=dit_cfg.patch_size, patch_size_t=dit_cfg.patch_size_t,
             attention_head_dim=dit_cfg.attention_head_dim,
         )
-    prompt = jnp.asarray(batch["prompt_embeds"][:1]).astype(jnp.bfloat16)
+    if batch.get("prompt_embeds") is not None:
+        prompt = jnp.asarray(batch["prompt_embeds"][:1]).astype(jnp.bfloat16)
+    else:
+        prompt = jnp.zeros((1, dit_cfg.max_text_seq_length,
+                            dit_cfg.text_embed_dim), jnp.bfloat16)
     noise = jax.random.normal(r_noise, (1, F_lat, C, H, W), dtype=jnp.float32)
     latents = jax.jit(sampler)(params, noise, image_latents, prompt, r_samp, **kwargs)
     val_dir = out_dir / "validation"

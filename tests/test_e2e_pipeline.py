@@ -392,3 +392,34 @@ def test_generate_video_demo_entry():
         )
         assert video.shape[0] == 3 and video.shape[1] >= F
         assert np.isfinite(video).all()
+
+
+def test_encode_backfills_new_outputs(pipeline_root):
+    """A re-run with MORE flags (extra ref_nums / encode_conds) must write
+    exactly the missing files instead of skipping samples whose latents
+    already exist (restartable-idempotency for additive flags)."""
+    from orv_tpu.configs import Config
+    from orv_tpu.models.vae import CausalVAE, VAEConfig
+    from orv_tpu.pipelines.encode_dataset import encode_split
+
+    tiny_vae = VAEConfig(block_out_channels=(8, 16, 16, 32), layers_per_block=1,
+                         norm_num_groups=4, latent_channels=16)
+    vae = CausalVAE(tiny_vae, dtype=jnp.float32)
+    vparams = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 1, 32, 32)))
+    cfg = Config({
+        "dataset": {"data_root": pipeline_root, "sequence_length": SEQ,
+                    "sequence_interval": 1, "start_frame_interval": 8,
+                    "video_size": [32, 32]},
+        "transformer": {"max_text_seq_length": 8, "text_embed_dim": 32},
+    })
+    emb = Path(pipeline_root) / "embeddings_full" / "train"
+    assert not list((emb / "image_latents").glob("*_ref5.npz"))
+    before = {p.name: p.stat().st_mtime for p in (emb / "latents").glob("*.npz")}
+
+    encode_split(cfg, vae, vparams, "train", ref_nums=[1, 5])
+
+    ref5 = list((emb / "image_latents").glob("*_ref5.npz"))
+    assert ref5, "re-run with ref_nums=[1,5] must backfill _ref5 files"
+    # and the existing latents were NOT re-encoded
+    after = {p.name: p.stat().st_mtime for p in (emb / "latents").glob("*.npz")}
+    assert after == before
