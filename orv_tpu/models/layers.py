@@ -139,6 +139,26 @@ class AdaLNZero(nn.Module):
             return mod(x, scale[:, None, :], shift[:, None, :])
 
         enc_gate = None
+        if gates_only:
+            # compute ONLY the gate column-slices of the modulation linear
+            # (gate = chunk 3 of the video split, enc_gate = chunk 6): a
+            # broadcast step discards shift/scale and XLA cannot prune
+            # partial output columns of one matmul
+            g_k = kernel[:, 2 * dim : 3 * dim]
+            g_b = lbias[2 * dim : 3 * dim]
+            if action_emb is not None:
+                temb_f = nn.silu(temb[:, None, :].astype(jnp.float32)
+                                 + action_emb.astype(jnp.float32)).astype(self.dtype)
+                gate = (temb_f @ g_k + g_b)[:, :, None, :]  # [B, F, 1, D]
+            else:
+                gate = (nn.silu(temb.astype(jnp.float32)).astype(self.dtype)
+                        @ g_k + g_b)[:, None, :]
+            if self.modulate_enc:
+                eg_k = kernel[:, 5 * dim : 6 * dim]
+                eg_b = lbias[5 * dim : 6 * dim]
+                enc_gate = (nn.silu(temb.astype(jnp.float32)).astype(self.dtype)
+                            @ eg_k + eg_b)[:, None, :]
+            return None, None, gate, enc_gate
         if action_emb is not None:
             # frame-level video modulation: temb [B, D] + action [B, F, D].
             # Per-frame vectors broadcast over each frame's patches via a
@@ -148,43 +168,36 @@ class AdaLNZero(nn.Module):
             temb_f = temb_f.astype(self.dtype)
             vid = temb_f @ kernel[:, : 3 * dim] + lbias[: 3 * dim]  # [B, F, 3D]
             shift, scale, gate = jnp.split(vid, 3, axis=-1)
-            if not gates_only:
-                B, S, D = hidden.shape
-                num_frames = action_emb.shape[1]
-                hidden_f = hidden.reshape(B * num_frames, S // num_frames, D)
-                hidden = mod_rows(hidden_f, scale.reshape(B * num_frames, D),
-                                  shift.reshape(B * num_frames, D))
-                if isinstance(hidden, tuple):  # emit_q8: (xq, per-token scale)
-                    hidden = (hidden[0].reshape(B, S, D), hidden[1].reshape(B, S))
-                else:
-                    hidden = hidden.reshape(B, S, D)
+            B, S, D = hidden.shape
+            num_frames = action_emb.shape[1]
+            hidden_f = hidden.reshape(B * num_frames, S // num_frames, D)
+            hidden = mod_rows(hidden_f, scale.reshape(B * num_frames, D),
+                              shift.reshape(B * num_frames, D))
+            if isinstance(hidden, tuple):  # emit_q8: (xq, per-token scale)
+                hidden = (hidden[0].reshape(B, S, D), hidden[1].reshape(B, S))
+            else:
+                hidden = hidden.reshape(B, S, D)
             gate = gate[:, :, None, :]  # [B, F, 1, D] — applied frame-blocked
             if self.modulate_enc:
                 txt = nn.silu(temb.astype(jnp.float32)).astype(self.dtype) @ kernel[:, 3 * dim :] \
                     + lbias[3 * dim :]
                 enc_shift, enc_scale, enc_gate = jnp.split(txt, 3, axis=-1)
-                if not gates_only:
-                    enc = mod(enc, enc_scale[:, None, :], enc_shift[:, None, :])
+                enc = mod(enc, enc_scale[:, None, :], enc_shift[:, None, :])
                 enc_gate = enc_gate[:, None, :]
-            elif not gates_only:
+            else:
                 enc = norm(enc)
         else:
             out = nn.silu(temb.astype(jnp.float32)).astype(self.dtype) @ kernel + lbias
             if self.modulate_enc:
                 shift, scale, gate, enc_shift, enc_scale, enc_gate = jnp.split(out, 6, axis=-1)
-                if not gates_only:
-                    enc = mod(enc, enc_scale[:, None, :], enc_shift[:, None, :])
+                enc = mod(enc, enc_scale[:, None, :], enc_shift[:, None, :])
                 enc_gate = enc_gate[:, None, :]
             else:
                 shift, scale, gate = jnp.split(out, 3, axis=-1)
-                if not gates_only:
-                    enc = norm(enc)
-            if not gates_only:
-                hidden = mod_rows(hidden, scale, shift)
+                enc = norm(enc)
+            hidden = mod_rows(hidden, scale, shift)
             gate = gate[:, None, :]
 
-        if gates_only:
-            return None, None, gate, enc_gate
         return hidden, enc, gate, enc_gate
 
 

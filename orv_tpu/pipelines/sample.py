@@ -49,7 +49,9 @@ class SamplerConfig:
     # stay exact per step). pab_skip=0 (default) disables it — this is an
     # opt-in APPROXIMATION for serving; bench.py's headline number never
     # uses it. Broadcast steps skip the QKV/attention/out-proj entirely
-    # (statically, via lax.cond over two model variants).
+    # (statically, via lax.cond over two model variants). HBM note: the
+    # per-layer cache rides the scan carry (~0.9 GB bf16 at the flagship
+    # shape per CFG-batch unit) — PAB trades HBM headroom for step time.
     pab_skip: int = 0
     pab_start: float = 0.1
     pab_end: float = 0.85
