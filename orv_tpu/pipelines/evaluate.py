@@ -153,14 +153,22 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
     # eval shard" with "one model over N chips" for models/serving configs
     # that exceed a single chip's HBM.
     mesh_cfg = ev.get("mesh", {}) or {}
-    if int(mesh_cfg.get("tp", 1)) > 1 or int(mesh_cfg.get("fsdp", 1)) > 1:
+    serve_mesh = None
+    if any(int(mesh_cfg.get(a, 1)) > 1 for a in ("dp", "fsdp", "tp")):
         from orv_tpu.parallel import MeshConfig, make_mesh, param_shardings
 
-        mesh = make_mesh(MeshConfig(dp=int(mesh_cfg.get("dp", -1)),
-                                    fsdp=int(mesh_cfg.get("fsdp", 1)),
-                                    tp=int(mesh_cfg.get("tp", 1))))
-        params = jax.device_put(params, param_shardings(params, mesh))
-        CONSOLE.log(f"inference sharding: mesh {dict(mesh.shape)}")
+        dp = int(mesh_cfg.get("dp", -1))
+        fsdp, tp = int(mesh_cfg.get("fsdp", 1)), int(mesh_cfg.get("tp", 1))
+        # fully-explicit mesh smaller than the host's device count is valid
+        # for serving (e.g. 4 of 8 chips; the rest idle or serve another
+        # replica) — build over the first dp*fsdp*tp devices.
+        devices = None
+        if dp > 0 and 0 < dp * fsdp * tp < len(jax.devices()):
+            devices = jax.devices()[: dp * fsdp * tp]
+        serve_mesh = make_mesh(MeshConfig(dp=dp, fsdp=fsdp, tp=tp),
+                               devices=devices)
+        params = jax.device_put(params, param_shardings(params, serve_mesh))
+        CONSOLE.log(f"inference sharding: mesh {dict(serve_mesh.shape)}")
 
     cascaded = bool(ev.get("cascaded", False))
     dataset = build_dataset(cfg, split=cfg.dataset.get("split", "test"),
@@ -242,6 +250,25 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
             )
         prompt_embeds = jnp.asarray(batch["prompt_embeds"]).astype(jnp.bfloat16)
         noise = jax.random.normal(r_noise, (B, F_lat, C, H, W), dtype=jnp.float32)
+        # data-parallel batched serving (evaluation.mesh.dp > 1): shard the
+        # batch axis over the dp mesh axis — GSPMD propagates through the
+        # jitted denoise scan, so N chips each denoise B/N clips. Composes
+        # with tp (per-clip model sharding) on the same mesh.
+        if serve_mesh is not None and serve_mesh.shape["dp"] > 1:
+            dp = serve_mesh.shape["dp"]
+            if B % dp == 0:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                bsh = NamedSharding(serve_mesh, P("dp"))
+                put = lambda x: jax.device_put(x, bsh)
+                noise, image_latents = put(noise), put(image_latents)
+                prompt_embeds = put(prompt_embeds)
+                kwargs = {k: (put(v) if hasattr(v, "ndim") and v.ndim > 0
+                              and v.shape[0] == B else v)
+                          for k, v in kwargs.items()}
+            else:
+                CONSOLE.log(f"[yellow]batch {B} not divisible by mesh dp={dp}"
+                            " — running this batch replicated")
         latents = sample_jit(params, noise, image_latents, prompt_embeds, r_samp,
                              num_views=nv, **kwargs)
 

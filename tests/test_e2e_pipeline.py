@@ -245,6 +245,35 @@ def test_eval_quant_serving_smoke(pipeline_root, tmp_path):
     assert np.isfinite(lat).all()
 
 
+def test_eval_dp_batched_serving(pipeline_root, tmp_path):
+    """evaluation.mesh.dp=2 shards the eval batch over the dp mesh axis —
+    N chips each denoise B/N clips through the one jitted sampler (GSPMD
+    propagates the batch sharding through the denoise scan). Exactness vs
+    a replicated run is pinned in test_train_step.py; here the full
+    evaluate() pipeline drives the sharded path end to end."""
+    from orv_tpu.configs import default_config_dir, load_config
+    from orv_tpu.pipelines.evaluate import evaluate
+
+    overrides = [
+        f"dataset.data_root={pipeline_root}", "dataset.sequence_length=8",
+        "dataset.start_frame_interval=8", "dataset.split=train",
+        "transformer.num_attention_heads=2", "transformer.attention_head_dim=8",
+        "transformer.num_layers=1", "transformer.text_embed_dim=32",
+        "transformer.time_embed_dim=32", "transformer.max_text_seq_length=8",
+        "transformer.pretrained_name_or_path=null",
+        "evaluation.num_inference_steps=2", "evaluation.batch_size=2",
+        "evaluation.mesh.dp=2", "evaluation.mesh.fsdp=1",
+        "evaluation.mesh.tp=1",
+        f"evaluation.output_dir={tmp_path}/eval_dp",
+    ]
+    cfg = load_config(str(default_config_dir() / "base_eval.yaml"),
+                      dataset_type="rt1", overrides=overrides)
+    results = evaluate(cfg, max_batches=1)
+    assert len(results) == 2
+    lat = np.load(sorted((tmp_path / "eval_dp").glob("*_latents.npz"))[0])["arr_0"]
+    assert np.isfinite(lat).all()
+
+
 def test_cascaded_eval_from_raw_pixels(pipeline_root, tmp_path):
     """The reference's eval_traj_image_2b_finetune_cascaded.yaml runs with
     load_tensors: false — mp4 frames decode via the raw dataset path, are

@@ -272,3 +272,39 @@ def test_fused_adaln_train_step_matches_xla_under_remat():
 
     assert abs(l_fus - l_ref) < 1e-4 * max(1.0, abs(l_ref)), (l_fus, l_ref)
     assert abs(g_fus - g_ref) < 1e-3 * max(1.0, g_ref), (g_fus, g_ref)
+
+
+def test_dp_batch_sharded_sampler_matches_single_device():
+    """Data-parallel batched serving (evaluation.mesh.dp): batch sharded
+    over the dp axis through the jitted sampler scan must reproduce the
+    replicated run exactly (GSPMD shards every per-clip computation)."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from orv_tpu.parallel import MeshConfig, make_mesh, param_shardings
+    from orv_tpu.pipelines.sample import SamplerConfig, make_sampler
+    from orv_tpu.schedulers import make_schedule
+
+    cfg = dataclasses.replace(CFG, recon_action=False)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    B, F, C, H, W = 4, 3, 16, 8, 16
+    k = jax.random.PRNGKey
+    lat = jax.random.normal(k(0), (B, F, C, H, W))
+    img = jax.random.normal(k(1), (B, F, C, H, W)) * 0.1
+    enc = jax.random.normal(k(2), (B, 8, 32))
+    params = model.init(k(3), jnp.concatenate([lat, lat], 2), enc,
+                        jnp.zeros((B,), jnp.int32))
+    sampler = make_sampler(model.apply, make_schedule(),
+                           SamplerConfig(num_inference_steps=3))
+    ref = jax.jit(sampler)(params, lat, img, enc, k(9))
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=1, tp=1),
+                     devices=jax.devices("cpu")[:2])
+    bsh = NamedSharding(mesh, P("dp"))
+    sharded_params = jax.device_put(params, param_shardings(params, mesh))
+    got = jax.jit(sampler)(sharded_params, jax.device_put(lat, bsh),
+                           jax.device_put(img, bsh),
+                           jax.device_put(enc, bsh), k(9))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4, rtol=2e-4)
