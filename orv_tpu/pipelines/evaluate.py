@@ -109,8 +109,25 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
     # int8 serving configuration (evaluation.quant: true or --quant):
     # W8A8 linears + int8-QK^T attention; params converted after load
     quant = bool(ev.get("quant", False))
+    # sequence-parallel serving (evaluation.mesh.sp > 1): every block's
+    # joint attention rings the ~8k video tokens over the sp axis
+    # (ops/ring_attention.py) — O(S/n) attention memory per chip for
+    # clips whose KV exceeds one chip's HBM. Exclusive with dp/fsdp/tp
+    # (one model instance, sequence-sharded).
+    mesh_cfg = ev.get("mesh", {}) or {}
+    sp = int(mesh_cfg.get("sp", 1))
+    sp_mesh = None
+    if sp > 1:
+        if any(int(mesh_cfg.get(a, 1)) > 1 for a in ("dp", "fsdp", "tp")):
+            raise ValueError("evaluation.mesh.sp is exclusive with dp/fsdp/tp")
+        import numpy as _np
+        from jax.sharding import Mesh as _Mesh
+
+        sp_mesh = _Mesh(_np.asarray(jax.devices()[:sp]), ("sp",))
+        CONSOLE.log(f"inference sharding: sequence-parallel sp={sp}")
     model = ControlDiT(dit_cfg, dtype=jnp.bfloat16,
-                       attn_impl="flash_q8" if quant else "auto", quant=quant)
+                       attn_impl="flash_q8" if quant else "auto", quant=quant,
+                       sp_mesh=sp_mesh)
 
     pretrained = cfg.transformer.get("pretrained_name_or_path")
     if pretrained and (Path(str(pretrained)) / "model.msgpack").exists():
@@ -152,7 +169,6 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
     # multi-GPU inference path (SURVEY §2.3) — this replaces "one GPU per
     # eval shard" with "one model over N chips" for models/serving configs
     # that exceed a single chip's HBM.
-    mesh_cfg = ev.get("mesh", {}) or {}
     serve_mesh = None
     if any(int(mesh_cfg.get(a, 1)) > 1 for a in ("dp", "fsdp", "tp")):
         from orv_tpu.parallel import MeshConfig, make_mesh, param_shardings

@@ -274,6 +274,42 @@ def test_eval_dp_batched_serving(pipeline_root, tmp_path):
     assert np.isfinite(lat).all()
 
 
+def test_eval_sp_serving(pipeline_root, tmp_path):
+    """evaluation.mesh.sp=2: one model instance with every block's joint
+    attention ringing the video tokens over the sp axis
+    (ops/ring_attention.py) — the long-context serving mode for clips
+    whose attention KV exceeds one chip's HBM. Forward exactness vs the
+    resident model is pinned in test_ring_attention.py; here the full
+    evaluate() pipeline drives the sp model end to end."""
+    from orv_tpu.configs import default_config_dir, load_config
+    from orv_tpu.pipelines.evaluate import evaluate
+
+    overrides = [
+        f"dataset.data_root={pipeline_root}", "dataset.sequence_length=8",
+        "dataset.start_frame_interval=8", "dataset.split=train",
+        "transformer.num_attention_heads=2", "transformer.attention_head_dim=8",
+        "transformer.num_layers=1", "transformer.text_embed_dim=32",
+        "transformer.time_embed_dim=32", "transformer.max_text_seq_length=8",
+        "transformer.pretrained_name_or_path=null",
+        "evaluation.num_inference_steps=2", "evaluation.batch_size=2",
+        "evaluation.mesh.sp=2",
+        f"evaluation.output_dir={tmp_path}/eval_sp",
+    ]
+    cfg = load_config(str(default_config_dir() / "base_eval.yaml"),
+                      dataset_type="rt1", overrides=overrides)
+    results = evaluate(cfg, max_batches=1)
+    assert len(results) == 2
+    lat = np.load(sorted((tmp_path / "eval_sp").glob("*_latents.npz"))[0])["arr_0"]
+    assert np.isfinite(lat).all()
+
+    # sp composed with tp must refuse loudly, not silently mis-shard
+    bad = load_config(str(default_config_dir() / "base_eval.yaml"),
+                      dataset_type="rt1",
+                      overrides=overrides + ["evaluation.mesh.tp=2"])
+    with pytest.raises(ValueError, match="exclusive"):
+        evaluate(bad, max_batches=1)
+
+
 def test_cascaded_eval_from_raw_pixels(pipeline_root, tmp_path):
     """The reference's eval_traj_image_2b_finetune_cascaded.yaml runs with
     load_tensors: false — mp4 frames decode via the raw dataset path, are
