@@ -425,16 +425,28 @@ class JointAttention(nn.Module):
                 q, k = q_vid, k_vid
 
         sp_size = self.sp_mesh.shape[self.sp_axis] if self.sp_mesh is not None else 1
-        if sp_size > 1 and (S - text_len) % sp_size == 0:
+        if sp_size > 1:
             # sequence-parallel: video tokens ring over the `sp` axis,
-            # text replicated (ops/ring_attention.py)
+            # text replicated (ops/ring_attention.py). On a multi-axis
+            # train mesh the specs carry the dp batch sharding through the
+            # shard_map so dp x sp composes without a gather.
+            if (S - text_len) % sp_size != 0:
+                raise ValueError(
+                    f"sequence-parallel sp={sp_size} needs the video token "
+                    f"count ({S - text_len}) divisible by sp — pick frame/"
+                    f"resolution so (F*H*W/patch^2) % sp == 0")
             from orv_tpu.ops.ring_attention import joint_ring_attention, ring_attention
+            batch_axes = tuple(
+                a for a in ("dp", "fsdp")
+                if self.sp_mesh.shape.get(a, 1) > 1
+            ) or None
             if text_len > 0:
                 out = joint_ring_attention(q, k, v, text_len, self.sp_mesh,
-                                           self.sp_axis, impl=self.attn_impl)
+                                           self.sp_axis, impl=self.attn_impl,
+                                           batch_axes=batch_axes)
             else:
                 out = ring_attention(q, k, v, self.sp_mesh, self.sp_axis,
-                                     impl=self.attn_impl)
+                                     impl=self.attn_impl, batch_axes=batch_axes)
         else:
             out = attention(
                 q, k, v, impl=self.attn_impl,

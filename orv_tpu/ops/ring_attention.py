@@ -95,7 +95,12 @@ def _joint_ring_body(q_t, k_t, v_t, q_v, k_v, v_v, axis: str, scale: float,
     # --- text queries ---
     out_tt, lse_tt = attention_with_lse(q_t, k_t, v_t, scale, impl)
     out_tv, lse_tv = attention_with_lse(q_t, k_v, v_v, scale, impl)
-    m = jnp.maximum(jax.lax.pmax(lse_tv, axis), lse_tt)
+    # m only stabilizes the exponentials — num/den is invariant to it, so
+    # its gradient is exactly zero; stop_gradient keeps the ring
+    # differentiable (pmax has no AD rule) without changing any derivative
+    m = jnp.maximum(
+        jax.lax.pmax(jax.lax.stop_gradient(lse_tv), axis),
+        jax.lax.stop_gradient(lse_tt))
     num = jax.lax.psum(
         jnp.exp(lse_tv - m)[..., None] * out_tv.astype(jnp.float32), axis
     ) + jnp.exp(lse_tt - m)[..., None] * out_tt.astype(jnp.float32)
@@ -114,6 +119,7 @@ def joint_ring_attention(
     axis: str = "sp",
     scale: Optional[float] = None,
     impl: str = "auto",
+    batch_axes=None,
 ) -> jnp.ndarray:
     """Exact joint [text|video] attention over [B, H, T+S, D] with the
     video token range sequence-sharded on `axis` and the text range
@@ -124,11 +130,15 @@ def joint_ring_attention(
     reference has no SP at all (SURVEY.md §5.7); here longer clips shard
     their ~8k video tokens over the ICI ring while every device keeps its
     query chunk resident. S must divide by the axis size.
+
+    `batch_axes` (mesh axis name or tuple) shards the leading batch dim —
+    on a multi-axis training mesh this carries the dp batch sharding
+    through the shard_map instead of forcing an all-gather at its boundary.
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    t_spec = P(None, None, None, None)
-    v_spec = P(None, None, axis, None)
+    t_spec = P(batch_axes, None, None, None)
+    v_spec = P(batch_axes, None, axis, None)
     fn = shard_map(
         functools.partial(_joint_ring_body, axis=axis, scale=float(scale),
                           impl=impl),
@@ -150,17 +160,19 @@ def ring_attention(
     axis: str = "sp",
     scale: Optional[float] = None,
     impl: str = "auto",
+    batch_axes=None,
 ) -> jnp.ndarray:
     """Exact attention over [B, H, S, D] with S sharded on `axis`.
 
     S must divide by the axis size. Bidirectional (no causal mask) — the
     DiT's joint text-video attention is full attention, so every query
     chunk must see every KV chunk; the ring delivers them one hop at a
-    time while compute overlaps the next transfer.
+    time while compute overlaps the next transfer. `batch_axes` optionally
+    shards the leading batch dim (see joint_ring_attention).
     """
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
-    spec = P(None, None, axis, None)
+    spec = P(batch_axes, None, axis, None)
     fn = shard_map(
         functools.partial(_ring_body, axis=axis, scale=float(scale), impl=impl),
         mesh=mesh,

@@ -71,24 +71,33 @@ class MeshConfig:
     # axis: tp collectives fire every layer, pipeline transfers once per
     # microbatch tick.
     pp: int = 1
+    # sequence/context parallel: every DiT block's joint attention rings
+    # the video tokens over `sp` (ops/ring_attention.py) — long-context
+    # training for clips whose activations exceed one chip's HBM. Composes
+    # with dp (the ring's shard_map specs carry the dp batch sharding
+    # through); exclusive with fsdp/tp/pp. Innermost axis: KV chunks hop
+    # every layer, so the ring rides nearest-neighbor ICI links.
+    sp: int = 1
 
     def resolve(self, n_devices: int) -> "MeshConfig":
         dp = self.dp
         if dp == -1:
-            dp = n_devices // (self.fsdp * self.tp * self.pp)
-        if dp * self.fsdp * self.tp * self.pp != n_devices:
+            dp = n_devices // (self.fsdp * self.tp * self.pp * self.sp)
+        if dp * self.fsdp * self.tp * self.pp * self.sp != n_devices:
             raise ValueError(
-                f"mesh {dp}x{self.fsdp}x{self.pp}x{self.tp} != {n_devices} devices"
+                f"mesh {dp}x{self.fsdp}x{self.pp}x{self.tp}x{self.sp} != "
+                f"{n_devices} devices"
             )
-        return MeshConfig(dp=dp, fsdp=self.fsdp, tp=self.tp, pp=self.pp)
+        return MeshConfig(dp=dp, fsdp=self.fsdp, tp=self.tp, pp=self.pp,
+                          sp=self.sp)
 
 
 def make_mesh(config: MeshConfig = MeshConfig(), devices=None, backend: Optional[str] = None) -> Mesh:
     if devices is None:
         devices = jax.devices(backend) if backend else jax.devices()
     cfg = config.resolve(len(devices))
-    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.pp, cfg.tp)
-    return Mesh(arr, axis_names=("dp", "fsdp", "pp", "tp"))
+    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.pp, cfg.tp, cfg.sp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "pp", "tp", "sp"))
 
 
 # ---------------------------------------------------------------------------

@@ -210,8 +210,9 @@ def make_pp_train_step(
     fraction (pp-1)/(n_micro+pp-1)."""
     pp_size = mesh.shape["pp"]
     dp_size = mesh.shape["dp"]
-    if mesh.shape.get("fsdp", 1) != 1 or mesh.shape.get("tp", 1) != 1:
-        raise ValueError("pp composes with dp only (fsdp=tp=1); "
+    if (mesh.shape.get("fsdp", 1) != 1 or mesh.shape.get("tp", 1) != 1
+            or mesh.shape.get("sp", 1) != 1):
+        raise ValueError("pp composes with dp only (fsdp=tp=sp=1); "
                          f"got mesh {dict(mesh.shape)}")
     L = model.config.num_layers
     if L % pp_size != 0:

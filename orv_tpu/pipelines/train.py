@@ -329,17 +329,26 @@ def train(cfg: Config, vae=None, vae_params=None):
     out_dir.mkdir(parents=True, exist_ok=True)
 
     mesh_cfg = tcfg.get("mesh", {}) or {}
+    sp = int(mesh_cfg.get("sp", 1))
+    if sp > 1 and any(int(mesh_cfg.get(a, 1)) > 1 for a in ("fsdp", "tp", "pp")):
+        raise ValueError("train.mesh.sp composes with dp only (fsdp=tp=pp=1)")
     mesh = make_mesh(MeshConfig(
         dp=mesh_cfg.get("dp", -1), fsdp=mesh_cfg.get("fsdp", 1),
-        tp=mesh_cfg.get("tp", 1), pp=mesh_cfg.get("pp", 1),
+        tp=mesh_cfg.get("tp", 1), pp=mesh_cfg.get("pp", 1), sp=sp,
     ))
     CONSOLE.log(f"mesh: {dict(mesh.shape)}")
 
     dit_cfg = build_dit_config(cfg)
     dtype = jnp.bfloat16 if tcfg.get("mixed_precision", "bf16") == "bf16" else jnp.float32
+    # train.mesh.sp > 1: context-parallel training — every block's joint
+    # attention rings the video tokens over the `sp` axis
+    # (ops/ring_attention.py; AD flows through the shard_map ring), so one
+    # long clip's activations spread over sp chips. Composes with dp: the
+    # ring specs carry the dp batch sharding through.
     model = ControlDiT(dit_cfg, dtype=dtype,
                        remat=bool(tcfg.get("gradient_checkpointing", False)),
-                       remat_policy=tcfg.get("remat_policy"))
+                       remat_policy=tcfg.get("remat_policy"),
+                       sp_mesh=mesh if sp > 1 else None)
 
     dataset = build_dataset(cfg, split="train")
     bs = int(tcfg.get("train_batch_size", 4))

@@ -308,3 +308,112 @@ def test_dp_batch_sharded_sampler_matches_single_device():
                            jax.device_put(enc, bsh), k(9))
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_sp_train_step_matches_single_device():
+    """Context-parallel training (train.mesh.sp): the DiT built with an
+    sp_mesh rings every block's joint attention over the sp axis
+    (ops/ring_attention.py) and AD flows back through the shard_map ring.
+    One step must match the resident single-device step (float32; ring
+    logsumexp merging reorders reductions -> small tolerance). Also pins
+    the dp x sp composition: batch sharded over dp while sequences ring
+    over sp."""
+    state, step, batch = _setup()
+    rng = jax.random.PRNGKey(7)
+    ref_state, ref_m = step(state, batch, rng)
+    ref_leaves = jax.tree_util.tree_leaves(ref_state.params)
+
+    for axes in ({"dp": 1, "sp": 2}, {"dp": 2, "sp": 2}):
+        n = axes["dp"] * axes["sp"]
+        mesh = make_mesh(MeshConfig(dp=axes["dp"], sp=axes["sp"]),
+                         devices=jax.devices("cpu")[:n])
+        model_sp = ControlDiT(CFG, dtype=jnp.float32, sp_mesh=mesh)
+        sched = make_schedule()
+        lr = make_lr_schedule(total_steps=100, warmup_steps=0)
+        tx = make_optimizer(lr)
+        # the ref step donated its state — _setup() re-inits identically
+        fresh, _, _ = _setup()
+        sp_state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=jax.device_put(fresh.params,
+                                  param_shardings(fresh.params, mesh)),
+            opt_state=tx.init(fresh.params),
+        )
+        sp_step = make_train_step(model_sp.apply, tx, sched, mesh=mesh,
+                                  recon_action=True, fold_rng=False)
+        sp_batch = jax.device_put(batch, batch_sharding(mesh))
+        sp_state, m = sp_step(sp_state, sp_batch, rng)
+        np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                                   atol=1e-5, rtol=1e-5)
+        got_leaves = jax.tree_util.tree_leaves(sp_state.params)
+        for a, b in zip(got_leaves, ref_leaves):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-5, rtol=5e-4)
+
+
+def test_sp_train_grad_joint_text_regime():
+    """The 6-chunk regime routes text through the joint ring
+    (joint_ring_attention's text-query psum merge) — its logsumexp
+    stabilizer uses pmax, which has no AD rule unless stop_gradient'ed.
+    Pin that gradients through the joint ring match the resident ones
+    (the stabilizer is mathematically gradient-free)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, modulate_encoder_hidden_states=True,
+                              recon_action=False)
+    model = ControlDiT(cfg, dtype=jnp.float32)
+    B, F, C, H, W = 2, 3, 16, 8, 16
+    k = jax.random.PRNGKey
+    x = jax.random.normal(k(0), (B, F, 2 * C, H, W))
+    enc = jax.random.normal(k(1), (B, 8, 32))
+    t = jnp.zeros((B,), jnp.int32)
+    params = model.init(k(2), x, enc, t)
+
+    def loss_fn(m):
+        def f(p):
+            out, _, _ = m.apply(p, x, enc, t)
+            return (out.astype(jnp.float32) ** 2).mean()
+        return f
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn(model))(params)
+
+    mesh = make_mesh(MeshConfig(dp=1, sp=2), devices=jax.devices("cpu")[:2])
+    model_sp = ControlDiT(cfg, dtype=jnp.float32, sp_mesh=mesh)
+    sp_loss, sp_grads = jax.jit(jax.value_and_grad(loss_fn(model_sp)))(
+        jax.device_put(params, param_shardings(params, mesh)))
+    np.testing.assert_allclose(float(sp_loss), float(ref_loss),
+                               atol=1e-6, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(sp_grads),
+                    jax.tree_util.tree_leaves(ref_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_sp_non_divisible_sequence_raises():
+    """sp_mesh with a video token count not divisible by sp must refuse
+    loudly (a silent resident fallback would OOM the long-context run the
+    user asked sp for)."""
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.asarray(jax.devices("cpu")[:2]), ("sp",))
+    import dataclasses
+
+    # 6x2 latents, patch 2 -> 3 patches/frame, F=3 -> 9 video tokens: odd
+    cfg = dataclasses.replace(CFG, sample_width=6, sample_height=2,
+                              recon_action=False)
+    model = ControlDiT(cfg, dtype=jnp.float32, sp_mesh=mesh)
+    B, F, C = 2, 3, 16
+    lat = jax.random.normal(jax.random.PRNGKey(0), (B, F, 2 * C, 2, 6))
+    enc = jax.random.normal(jax.random.PRNGKey(1), (B, 8, 32))
+    with pytest.raises(ValueError, match="divisible by sp"):
+        model.init(jax.random.PRNGKey(2), lat, enc, jnp.zeros((B,), jnp.int32))
+
+
+def test_pp_refuses_sp_mesh():
+    from orv_tpu.parallel.pp import make_pp_train_step
+
+    mesh = make_mesh(MeshConfig(dp=2, pp=2, sp=2), backend="cpu")
+    model = ControlDiT(CFG, dtype=jnp.float32)
+    tx = make_optimizer(make_lr_schedule())
+    with pytest.raises(ValueError, match="composes with dp only"):
+        make_pp_train_step(model, tx, make_schedule(), mesh)
