@@ -386,8 +386,12 @@ def _fwd(q, k, v, scale, block_q, block_k, static_max=None):
 # Backward kernels (delta recomputed in-kernel from O and dO)
 # ---------------------------------------------------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, dq_scr,
-                   *, scale, kv_len, block_k):
+def _bwd_dq_kernel(*refs, scale, kv_len, block_k, has_dlse=False):
+    if has_dlse:
+        q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dlse_ref, dq_ref, dq_scr = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, dq_scr = refs
+        dlse_ref = None
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -406,6 +410,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, dq_scr,
 
     do = do_ref[0].astype(jnp.float32)
     delta = jnp.sum(o_ref[0].astype(jnp.float32) * do, axis=-1, keepdims=True)  # [bq,1]
+    if dlse_ref is not None:
+        # lse cotangent: dL/ds += p * dlse (dlse_i/ds_ij = p_ij), i.e. the
+        # delta term shifts by -dlse — used by the differentiable
+        # (out, lse) path that ring/sequence-parallel training needs
+        delta = delta - dlse_ref[0][:, :1]
     dp = jax.lax.dot_general(
         do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -420,8 +429,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, dq_scr,
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref, dv_ref,
-                    dk_scr, dv_scr, *, scale, kv_len, q_len, block_q, block_k):
+def _bwd_dkv_kernel(*refs, scale, kv_len, q_len, block_q, block_k,
+                    has_dlse=False):
+    if has_dlse:
+        (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dlse_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+         dk_ref, dv_ref, dk_scr, dv_scr) = refs
+        dlse_ref = None
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
 
@@ -446,6 +462,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref, dv_ref,
 
     do = do_ref[0].astype(jnp.float32)  # [bq, d]
     delta = jnp.sum(o_ref[0].astype(jnp.float32) * do, axis=-1, keepdims=True)  # [bq,1]
+    if dlse_ref is not None:
+        delta = delta - dlse_ref[0][:, :1]  # see _bwd_dq_kernel
     # dv[bk, d] = sum_bq p[bq, bk] * do[bq, d]
     dv_scr[:] += jax.lax.dot_general(
         p.astype(do.dtype), do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -468,6 +486,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dk_ref, dv_ref,
 
 
 def _bwd(scale, block_q, block_k, static_max, res, g):
+    return _bwd_impl(scale, block_q, block_k, res, g, dlse=None)
+
+
+def _bwd_impl(scale, block_q, block_k, res, g, dlse=None):
+    """Flash backward. `dlse` (optional, [bh, Sq_pad_fwd, LANES], value in
+    lane 0) is the cotangent of the logsumexp output — the delta term
+    shifts by -dlse, which is the exact VJP of (out, lse) jointly."""
     q, k, v, out, lse = res
     do = g
     B, H, S, D = q.shape
@@ -486,14 +511,23 @@ def _bwd(scale, block_q, block_k, static_max, res, g):
 
     qp, kp, vp = pad3(q, Sq_pad), pad3(k, Skv_pad), pad3(v, Skv_pad)
     op, dop = pad3(out, Sq_pad), pad3(do, Sq_pad)
-    # lse comes padded to the FORWARD's Sq_pad; align it to ours
-    if lse.shape[1] > Sq_pad:
-        lse = lse[:, :Sq_pad]
-    elif lse.shape[1] < Sq_pad:
-        lse = jnp.pad(lse, ((0, 0), (0, Sq_pad - lse.shape[1]), (0, 0)))
+
+    # lse (and dlse) come padded to the FORWARD's Sq_pad; align to ours
+    def align(x):
+        if x.shape[1] > Sq_pad:
+            return x[:, :Sq_pad]
+        if x.shape[1] < Sq_pad:
+            return jnp.pad(x, ((0, 0), (0, Sq_pad - x.shape[1]), (0, 0)))
+        return x
+
+    lse = align(lse)
+    has_dlse = dlse is not None
+    extra_in = [align(dlse)] if has_dlse else []
+    lse_spec = pl.BlockSpec((1, block_q, LANES), lambda b, qi, ki: (b, qi, 0))
 
     dq = pl.pallas_call(
-        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=Skv, block_k=block_k),
+        functools.partial(_bwd_dq_kernel, scale=scale, kv_len=Skv,
+                          block_k=block_k, has_dlse=has_dlse),
         grid=(bh, Sq_pad // block_q, Skv_pad // block_k),
         in_specs=[
             pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
@@ -501,8 +535,7 @@ def _bwd(scale, block_q, block_k, static_max, res, g):
             pl.BlockSpec((1, block_k, D), lambda b, qi, ki: (b, ki, 0)),
             pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
             pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
-            pl.BlockSpec((1, block_q, LANES), lambda b, qi, ki: (b, qi, 0)),
-        ],
+        ] + [lse_spec] * (1 + has_dlse),
         out_specs=pl.BlockSpec((1, block_q, D), lambda b, qi, ki: (b, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, Sq_pad, D), q.dtype),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
@@ -510,12 +543,12 @@ def _bwd(scale, block_q, block_k, static_max, res, g):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(qp, kp, vp, op, dop, lse)
+    )(qp, kp, vp, op, dop, lse, *extra_in)
 
     dk, dv = pl.pallas_call(
         functools.partial(
             _bwd_dkv_kernel, scale=scale, kv_len=Skv, q_len=S,
-            block_q=block_q, block_k=block_k,
+            block_q=block_q, block_k=block_k, has_dlse=has_dlse,
         ),
         grid=(bh, Skv_pad // block_k, Sq_pad // block_q),
         in_specs=[
@@ -525,7 +558,8 @@ def _bwd(scale, block_q, block_k, static_max, res, g):
             pl.BlockSpec((1, block_q, D), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, block_q, D), lambda b, ki, qi: (b, qi, 0)),
             pl.BlockSpec((1, block_q, LANES), lambda b, ki, qi: (b, qi, 0)),
-        ],
+        ] + ([pl.BlockSpec((1, block_q, LANES), lambda b, ki, qi: (b, qi, 0))]
+             if has_dlse else []),
         out_specs=[
             pl.BlockSpec((1, block_k, D), lambda b, ki, qi: (b, ki, 0)),
             pl.BlockSpec((1, block_k, D), lambda b, ki, qi: (b, ki, 0)),
@@ -542,7 +576,7 @@ def _bwd(scale, block_q, block_k, static_max, res, g):
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=_interpret(),
-    )(qp, kp, vp, op, dop, lse)
+    )(qp, kp, vp, op, dop, lse, *extra_in)
 
     dq = dq.reshape(B, H, Sq_pad, D)[:, :, :S]
     dk = dk.reshape(B, H, Skv_pad, D)[:, :, :Skv]
@@ -562,6 +596,38 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, static_max):
 
 
 _flash.defvjp(_flash_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_lse(q, k, v, scale, block_q, block_k):
+    """Differentiable flash attention returning (out, lse[B, H, S]) — the
+    pair ring/sequence-parallel attention merges across KV chunks. The lse
+    cotangent folds into the backward's delta term (see _bwd_impl)."""
+    out, lse = _fwd(q, k, v, scale, block_q, block_k)
+    B, H, S, _ = q.shape
+    return out, lse.reshape(B, H, -1, LANES)[:, :, :S, 0]
+
+
+def _flash_lse_fwd(q, k, v, scale, block_q, block_k):
+    out, lse = _fwd(q, k, v, scale, block_q, block_k)
+    B, H, S, _ = q.shape
+    lse_pub = lse.reshape(B, H, -1, LANES)[:, :, :S, 0]
+    return (out, lse_pub), (q, k, v, out, lse)
+
+
+def _flash_lse_bwd(scale, block_q, block_k, res, g):
+    do, dlse_pub = g
+    q = res[0]
+    B, H, S, _ = q.shape
+    lse = res[4]
+    # dlse -> the kernel's [bh, Sq_pad, LANES] layout, value in lane 0
+    # (the kernels read [:, :1] of the tile, like they do for lse)
+    d = jnp.zeros((B * H, lse.shape[1], LANES), jnp.float32)
+    d = d.at[:, :S, 0].set(dlse_pub.astype(jnp.float32).reshape(B * H, S))
+    return _bwd_impl(scale, block_q, block_k, res, do, dlse=d)
+
+
+_flash_lse.defvjp(_flash_lse_fwd, _flash_lse_bwd)
 
 
 def _pick_block(n: int, preferred: int, align: int) -> int:
@@ -618,10 +684,9 @@ def attention_with_lse(q, k, v, scale: Optional[float] = None, impl: str = "auto
     if impl == "flash":
         block_q = _pick_block(q.shape[2], 1024, 128)
         block_k = _pick_block(k.shape[2], 1024, 128)
-        out, lse = _fwd(q, k, v, float(scale), block_q, block_k)
-        B, H, S, _ = q.shape
-        lse = lse.reshape(B, H, -1, LANES)[:, :, :S, 0]
-        return out, lse
+        # differentiable (out, lse) pair — context-parallel TRAINING
+        # (train.mesh.sp) backprops through the ring's partial results
+        return _flash_lse(q, k, v, float(scale), int(block_q), int(block_k))
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     lse = jax.nn.logsumexp(logits, axis=-1)

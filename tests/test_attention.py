@@ -60,3 +60,36 @@ def test_flash_q8_close_to_reference():
     ref = mha_reference(q, k, v)
     err = float(jnp.max(jnp.abs(out - ref)))
     assert err < 8e-3, err
+
+
+def test_flash_lse_grad_parity():
+    """attention_with_lse must be differentiable on the flash path with
+    gradients flowing through BOTH outputs — the ring combines partial
+    (out, lse) pairs, so the lse cotangent is nonzero in sequence-parallel
+    training. The lse cotangent folds into the backward's delta term
+    (dS = P*(dP - delta + dlse))."""
+    from orv_tpu.ops.attention import attention_with_lse
+
+    k = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(k, 3)
+    q = jax.random.normal(kq, (1, 2, 192, 64), jnp.float32)
+    kk_ = jax.random.normal(kk, (1, 2, 256, 64), jnp.float32)
+    v = jax.random.normal(kv, (1, 2, 256, 64), jnp.float32)
+
+    def loss(impl):
+        def f(q, k, v):
+            out, lse = attention_with_lse(q, k, v, impl=impl)
+            # both outputs contribute, with distinct nonlinearities
+            return jnp.sum(out.astype(jnp.float32) ** 2) + jnp.sum(
+                jnp.sin(lse) * jnp.arange(lse.shape[-1]))
+        return f
+
+    ref_val = loss("xla")(q, kk_, v)
+    got_val = loss("flash")(q, kk_, v)
+    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=2e-5)
+
+    g_ref = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, kk_, v)
+    g_flash = jax.grad(loss("flash"), argnums=(0, 1, 2))(q, kk_, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-3)
