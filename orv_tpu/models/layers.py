@@ -440,13 +440,15 @@ class JointAttention(nn.Module):
                 a for a in ("dp", "fsdp")
                 if self.sp_mesh.shape.get(a, 1) > 1
             ) or None
+            sm = QK_NORM_LOGIT_BOUND if self.qk_norm else None
             if text_len > 0:
                 out = joint_ring_attention(q, k, v, text_len, self.sp_mesh,
                                            self.sp_axis, impl=self.attn_impl,
-                                           batch_axes=batch_axes)
+                                           batch_axes=batch_axes, static_max=sm)
             else:
                 out = ring_attention(q, k, v, self.sp_mesh, self.sp_axis,
-                                     impl=self.attn_impl, batch_axes=batch_axes)
+                                     impl=self.attn_impl, batch_axes=batch_axes,
+                                     static_max=sm)
         else:
             out = attention(
                 q, k, v, impl=self.attn_impl,

@@ -598,24 +598,26 @@ def _flash_fwd(q, k, v, scale, block_q, block_k, static_max):
 _flash.defvjp(_flash_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _flash_lse(q, k, v, scale, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_lse(q, k, v, scale, block_q, block_k, static_max):
     """Differentiable flash attention returning (out, lse[B, H, S]) — the
     pair ring/sequence-parallel attention merges across KV chunks. The lse
-    cotangent folds into the backward's delta term (see _bwd_impl)."""
-    out, lse = _fwd(q, k, v, scale, block_q, block_k)
+    cotangent folds into the backward's delta term (see _bwd_impl).
+    `static_max` picks the cheaper bounded-logit kernel; its lse is exact,
+    so the shared backward is unaffected."""
+    out, lse = _fwd(q, k, v, scale, block_q, block_k, static_max)
     B, H, S, _ = q.shape
     return out, lse.reshape(B, H, -1, LANES)[:, :, :S, 0]
 
 
-def _flash_lse_fwd(q, k, v, scale, block_q, block_k):
-    out, lse = _fwd(q, k, v, scale, block_q, block_k)
+def _flash_lse_fwd(q, k, v, scale, block_q, block_k, static_max):
+    out, lse = _fwd(q, k, v, scale, block_q, block_k, static_max)
     B, H, S, _ = q.shape
     lse_pub = lse.reshape(B, H, -1, LANES)[:, :, :S, 0]
     return (out, lse_pub), (q, k, v, out, lse)
 
 
-def _flash_lse_bwd(scale, block_q, block_k, res, g):
+def _flash_lse_bwd(scale, block_q, block_k, static_max, res, g):
     do, dlse_pub = g
     q = res[0]
     B, H, S, _ = q.shape
@@ -673,20 +675,28 @@ def attention(q, k, v, scale=None, impl: str = "auto", static_max: Optional[floa
     return mha_reference(q, k, v, scale)
 
 
-def attention_with_lse(q, k, v, scale: Optional[float] = None, impl: str = "auto"):
+def attention_with_lse(q, k, v, scale: Optional[float] = None, impl: str = "auto",
+                       static_max: Optional[float] = None):
     """Attention that also returns per-row logsumexp [B, H, S] — the
     combination statistic ring/sequence-parallel attention needs to merge
-    partial results across KV chunks."""
+    partial results across KV chunks.
+
+    `impl="flash_q8"` maps to the bf16 flash kernel: the int8-QK^T kernel
+    produces no lse, and silently dropping to the O(S^2) einsum path would
+    defeat the ring (int8 serving keeps its Int8Dense linears either way).
+    `static_max` selects the cheaper bounded-logit kernel on the flash
+    path (lse stays exact); the xla path computes exact lse regardless."""
     if scale is None:
         scale = 1.0 / math.sqrt(q.shape[-1])
     if impl == "auto":
         impl = "flash" if jax.default_backend() == "tpu" else "xla"
-    if impl == "flash":
+    if impl in ("flash", "flash_q8"):
         block_q = _pick_block(q.shape[2], 1024, 128)
         block_k = _pick_block(k.shape[2], 1024, 128)
         # differentiable (out, lse) pair — context-parallel TRAINING
         # (train.mesh.sp) backprops through the ring's partial results
-        return _flash_lse(q, k, v, float(scale), int(block_q), int(block_k))
+        return _flash_lse(q, k, v, float(scale), int(block_q), int(block_k),
+                          None if static_max is None else float(static_max))
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     lse = jax.nn.logsumexp(logits, axis=-1)

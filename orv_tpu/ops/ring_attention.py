@@ -27,11 +27,12 @@ from jax.experimental.shard_map import shard_map
 from orv_tpu.ops.attention import attention_with_lse
 
 
-def _ring_body(q_blk, k_blk, v_blk, axis: str, scale: float, impl: str):
+def _ring_body(q_blk, k_blk, v_blk, axis: str, scale: float, impl: str,
+               static_max=None):
     n = jax.lax.axis_size(axis)
     perm = [(j, (j + 1) % n) for j in range(n)]
 
-    out0, lse0 = attention_with_lse(q_blk, k_blk, v_blk, scale, impl)
+    out0, lse0 = attention_with_lse(q_blk, k_blk, v_blk, scale, impl, static_max)
     out0 = out0.astype(jnp.float32)
 
     def step(carry, _):
@@ -39,7 +40,7 @@ def _ring_body(q_blk, k_blk, v_blk, axis: str, scale: float, impl: str):
         # rotate KV one hop around the ring, then attend to the new chunk
         k_nxt = jax.lax.ppermute(k_cur, axis, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-        out_i, lse_i = attention_with_lse(q_blk, k_nxt, v_nxt, scale, impl)
+        out_i, lse_i = attention_with_lse(q_blk, k_nxt, v_nxt, scale, impl, static_max)
         lse_new = jnp.logaddexp(lse_acc, lse_i)
         w_acc = jnp.exp(lse_acc - lse_new)[..., None]
         w_i = jnp.exp(lse_i - lse_new)[..., None]
@@ -61,7 +62,7 @@ def _lse_combine(out_a, lse_a, out_b, lse_b):
 
 
 def _joint_ring_body(q_t, k_t, v_t, q_v, k_v, v_v, axis: str, scale: float,
-                     impl: str):
+                     impl: str, static_max=None):
     """Per-device body: text tokens replicated, video tokens sharded on
     `axis`. Exact joint [text|video] attention via logsumexp merging:
 
@@ -75,8 +76,8 @@ def _joint_ring_body(q_t, k_t, v_t, q_v, k_v, v_v, axis: str, scale: float,
     perm = [(j, (j + 1) % n) for j in range(n)]
 
     # --- video queries ---
-    out_a, lse_a = attention_with_lse(q_v, k_t, v_t, scale, impl)
-    out_b, lse_b = attention_with_lse(q_v, k_v, v_v, scale, impl)
+    out_a, lse_a = attention_with_lse(q_v, k_t, v_t, scale, impl, static_max)
+    out_b, lse_b = attention_with_lse(q_v, k_v, v_v, scale, impl, static_max)
     out_acc, lse_acc = _lse_combine(out_a.astype(jnp.float32), lse_a,
                                     out_b.astype(jnp.float32), lse_b)
 
@@ -84,7 +85,7 @@ def _joint_ring_body(q_t, k_t, v_t, q_v, k_v, v_v, axis: str, scale: float,
         acc, lse, k_cur, v_cur = carry
         k_nxt = jax.lax.ppermute(k_cur, axis, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis, perm)
-        out_i, lse_i = attention_with_lse(q_v, k_nxt, v_nxt, scale, impl)
+        out_i, lse_i = attention_with_lse(q_v, k_nxt, v_nxt, scale, impl, static_max)
         acc, lse = _lse_combine(acc, lse, out_i.astype(jnp.float32), lse_i)
         return (acc, lse, k_nxt, v_nxt), None
 
@@ -93,8 +94,8 @@ def _joint_ring_body(q_t, k_t, v_t, q_v, k_v, v_v, axis: str, scale: float,
     )
 
     # --- text queries ---
-    out_tt, lse_tt = attention_with_lse(q_t, k_t, v_t, scale, impl)
-    out_tv, lse_tv = attention_with_lse(q_t, k_v, v_v, scale, impl)
+    out_tt, lse_tt = attention_with_lse(q_t, k_t, v_t, scale, impl, static_max)
+    out_tv, lse_tv = attention_with_lse(q_t, k_v, v_v, scale, impl, static_max)
     # m only stabilizes the exponentials — num/den is invariant to it, so
     # its gradient is exactly zero; stop_gradient keeps the ring
     # differentiable (pmax has no AD rule) without changing any derivative
@@ -120,6 +121,7 @@ def joint_ring_attention(
     scale: Optional[float] = None,
     impl: str = "auto",
     batch_axes=None,
+    static_max: Optional[float] = None,
 ) -> jnp.ndarray:
     """Exact joint [text|video] attention over [B, H, T+S, D] with the
     video token range sequence-sharded on `axis` and the text range
@@ -141,7 +143,7 @@ def joint_ring_attention(
     v_spec = P(batch_axes, None, axis, None)
     fn = shard_map(
         functools.partial(_joint_ring_body, axis=axis, scale=float(scale),
-                          impl=impl),
+                          impl=impl, static_max=static_max),
         mesh=mesh,
         in_specs=(t_spec, t_spec, t_spec, v_spec, v_spec, v_spec),
         out_specs=(t_spec, v_spec),
@@ -161,6 +163,7 @@ def ring_attention(
     scale: Optional[float] = None,
     impl: str = "auto",
     batch_axes=None,
+    static_max: Optional[float] = None,
 ) -> jnp.ndarray:
     """Exact attention over [B, H, S, D] with S sharded on `axis`.
 
@@ -174,7 +177,8 @@ def ring_attention(
         scale = 1.0 / math.sqrt(q.shape[-1])
     spec = P(batch_axes, None, axis, None)
     fn = shard_map(
-        functools.partial(_ring_body, axis=axis, scale=float(scale), impl=impl),
+        functools.partial(_ring_body, axis=axis, scale=float(scale), impl=impl,
+                          static_max=static_max),
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,

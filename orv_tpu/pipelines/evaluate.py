@@ -120,10 +120,15 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
     if sp > 1:
         if any(int(mesh_cfg.get(a, 1)) > 1 for a in ("dp", "fsdp", "tp")):
             raise ValueError("evaluation.mesh.sp is exclusive with dp/fsdp/tp")
-        import numpy as _np
-        from jax.sharding import Mesh as _Mesh
+        from orv_tpu.parallel import MeshConfig, make_mesh
 
-        sp_mesh = _Mesh(_np.asarray(jax.devices()[:sp]), ("sp",))
+        n_dev = len(jax.devices())
+        if n_dev < sp:
+            # a truncated ring would silently fall back to resident
+            # attention — the OOM-at-scale surprise sp exists to prevent
+            raise ValueError(
+                f"evaluation.mesh.sp={sp} needs {sp} devices, host has {n_dev}")
+        sp_mesh = make_mesh(MeshConfig(dp=1, sp=sp), devices=jax.devices()[:sp])
         CONSOLE.log(f"inference sharding: sequence-parallel sp={sp}")
     model = ControlDiT(dit_cfg, dtype=jnp.bfloat16,
                        attn_impl="flash_q8" if quant else "auto", quant=quant,

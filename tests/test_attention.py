@@ -76,20 +76,24 @@ def test_flash_lse_grad_parity():
     kk_ = jax.random.normal(kk, (1, 2, 256, 64), jnp.float32)
     v = jax.random.normal(kv, (1, 2, 256, 64), jnp.float32)
 
-    def loss(impl):
+    def loss(impl, static_max=None):
         def f(q, k, v):
-            out, lse = attention_with_lse(q, k, v, impl=impl)
+            out, lse = attention_with_lse(q, k, v, impl=impl,
+                                          static_max=static_max)
             # both outputs contribute, with distinct nonlinearities
             return jnp.sum(out.astype(jnp.float32) ** 2) + jnp.sum(
                 jnp.sin(lse) * jnp.arange(lse.shape[-1]))
         return f
 
     ref_val = loss("xla")(q, kk_, v)
-    got_val = loss("flash")(q, kk_, v)
-    np.testing.assert_allclose(float(got_val), float(ref_val), rtol=2e-5)
-
     g_ref = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, kk_, v)
-    g_flash = jax.grad(loss("flash"), argnums=(0, 1, 2))(q, kk_, v)
-    for a, b in zip(g_flash, g_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   atol=2e-4, rtol=2e-3)
+    # flash_q8 must map to the bf16 flash kernel here (the int8 kernel has
+    # no lse; falling to the einsum path would defeat the ring), and the
+    # static-max kernel's lse is exact so the shared backward matches too
+    for impl, sm in (("flash", None), ("flash", 24.0), ("flash_q8", 24.0)):
+        got_val = loss(impl, sm)(q, kk_, v)
+        np.testing.assert_allclose(float(got_val), float(ref_val), rtol=2e-5)
+        g_flash = jax.grad(loss(impl, sm), argnums=(0, 1, 2))(q, kk_, v)
+        for a, b in zip(g_flash, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=2e-3)

@@ -309,6 +309,15 @@ def test_eval_sp_serving(pipeline_root, tmp_path):
     with pytest.raises(ValueError, match="exclusive"):
         evaluate(bad, max_batches=1)
 
+    # sp beyond the host's device count must refuse loudly too — a
+    # truncated ring silently degrades to resident attention
+    over = [o for o in overrides if not o.startswith("evaluation.mesh.sp")]
+    big = load_config(str(default_config_dir() / "base_eval.yaml"),
+                      dataset_type="rt1",
+                      overrides=over + ["evaluation.mesh.sp=16"])
+    with pytest.raises(ValueError, match="devices"):
+        evaluate(big, max_batches=1)
+
 
 def test_cascaded_eval_from_raw_pixels(pipeline_root, tmp_path):
     """The reference's eval_traj_image_2b_finetune_cascaded.yaml runs with
