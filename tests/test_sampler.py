@@ -280,3 +280,30 @@ def test_pab_reuse_step_semantics(setup):
                                  jnp.asarray(i > 0), jnp.asarray(t),
                                  jnp.asarray(t_back), jnp.asarray(t_prev), lat)
     assert float(jnp.max(jnp.abs(out - lat))) < 1e-5
+
+
+def test_pab_composes_with_sequence_parallel(setup):
+    """PAB attention broadcast + sequence-parallel serving on one model:
+    the per-layer attention cache rides the denoise-scan carry while every
+    full step's attention rings over the sp mesh — output must equal the
+    resident PAB run exactly (the ring is exact attention; the cache holds
+    the same pre-gate outputs either way)."""
+    from orv_tpu.parallel import MeshConfig, make_mesh, param_shardings
+
+    model, params = setup
+    lat = jax.random.normal(jax.random.PRNGKey(4), (1, 3, 16, 8, 16))
+    img = jax.random.normal(jax.random.PRNGKey(5), lat.shape) * 0.1
+    enc = jax.random.normal(jax.random.PRNGKey(6), (1, 8, 32))
+    sched = make_schedule()
+    cfgs = SamplerConfig(num_inference_steps=6, pab_skip=2,
+                         pab_start=0.2, pab_end=0.9)
+    ref = jax.jit(make_sampler(model.apply, sched, cfgs))(
+        params, lat, img, enc, jax.random.PRNGKey(7))
+
+    mesh = make_mesh(MeshConfig(dp=1, sp=2), devices=jax.devices("cpu")[:2])
+    sp_model = ControlDiT(CFG, dtype=jnp.float32, sp_mesh=mesh)
+    sp_params = jax.device_put(params, param_shardings(params, mesh))
+    out = jax.jit(make_sampler(sp_model.apply, sched, cfgs))(
+        sp_params, lat, img, enc, jax.random.PRNGKey(7))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
