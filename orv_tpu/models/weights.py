@@ -250,6 +250,152 @@ def ensure_mv_blocks(params: Dict[str, Any], config: DiTConfig) -> Dict[str, Any
 
 
 # ---------------------------------------------------------------------------
+# DiT export (ours -> torch/diffusers layout)
+# ---------------------------------------------------------------------------
+
+def _t_inv(kernel):  # flax kernel -> torch linear weight
+    return np.ascontiguousarray(np.asarray(kernel).T)
+
+
+def _adaln_export(sd, prefix, p):
+    sd[f"{prefix}.linear.weight"] = _t_inv(p["linear_kernel"])
+    sd[f"{prefix}.linear.bias"] = np.asarray(p["linear_bias"])
+    sd[f"{prefix}.norm.weight"] = np.asarray(p["norm_scale"])
+    sd[f"{prefix}.norm.bias"] = np.asarray(p["norm_bias"])
+
+
+def _attn_export(sd, prefix, p):
+    for name in ("to_q", "to_k", "to_v"):
+        if "kernel_q8" in p[name]:
+            raise ValueError(
+                "int8 serving params cannot export to a torch checkpoint — "
+                "export the bf16 params the quantized tree was derived from")
+        sd[f"{prefix}.{name}.weight"] = _t_inv(p[name]["kernel"])
+        sd[f"{prefix}.{name}.bias"] = np.asarray(p[name]["bias"])
+    sd[f"{prefix}.to_out.0.weight"] = _t_inv(p["to_out"]["kernel"])
+    sd[f"{prefix}.to_out.0.bias"] = np.asarray(p["to_out"]["bias"])
+    for qk in ("norm_q", "norm_k"):
+        if qk in p:
+            sd[f"{prefix}.{qk}.weight"] = np.asarray(p[qk]["scale"])
+            sd[f"{prefix}.{qk}.bias"] = np.asarray(p[qk]["bias"])
+
+
+def _index(tree, i):
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x)[i], tree)
+
+
+def export_dit_state_dict(params: Dict[str, Any], config: DiTConfig) -> Dict[str, np.ndarray]:
+    """Our {'params': ...} tree -> torch state dict in the reference's key
+    layout (exact inverse of `convert_dit_state_dict`; verified by the
+    round-trip test). Lets an orv_tpu-trained model load back into the
+    reference stack via its `from_pretrained`
+    (cogvideox_control.py:950-1054)."""
+    p = params.get("params", params)
+    sd: Dict[str, np.ndarray] = {}
+
+    kernel = np.asarray(p["patch_embed"]["proj"]["kernel"])
+    if config.patch_size_t is None:
+        # inverse of _patch_conv: [(c p p), D] -> [D, C, p, p]
+        D = kernel.shape[1]
+        ps = config.patch_size
+        c = kernel.shape[0] // (ps * ps)
+        sd["patch_embed.proj.weight"] = np.ascontiguousarray(
+            kernel.T.reshape(D, c, ps, ps))
+    else:  # CogVideoX-1.5 linear patch embed
+        sd["patch_embed.proj.weight"] = _t_inv(kernel)
+    if "bias" in p["patch_embed"]["proj"]:
+        sd["patch_embed.proj.bias"] = np.asarray(p["patch_embed"]["proj"]["bias"])
+    sd["patch_embed.text_proj.weight"] = _t_inv(p["patch_embed"]["text_proj"]["kernel"])
+    sd["patch_embed.text_proj.bias"] = np.asarray(p["patch_embed"]["text_proj"]["bias"])
+
+    for lin in ("linear_1", "linear_2"):
+        sd[f"time_embedding.{lin}.weight"] = _t_inv(p["time_embedding"][lin]["kernel"])
+        sd[f"time_embedding.{lin}.bias"] = np.asarray(p["time_embedding"][lin]["bias"])
+
+    for i in range(config.num_layers):
+        blk = _index(p["blocks"]["block"], i)
+        prefix = f"transformer_blocks.{i}"
+        _adaln_export(sd, f"{prefix}.norm1", blk["norm1"])
+        _adaln_export(sd, f"{prefix}.norm2", blk["norm2"])
+        _attn_export(sd, f"{prefix}.attn1", blk["attn1"])
+        sd[f"{prefix}.ff.net.0.proj.weight"] = _t_inv(blk["ff"]["net_0_proj"]["kernel"])
+        sd[f"{prefix}.ff.net.0.proj.bias"] = np.asarray(blk["ff"]["net_0_proj"]["bias"])
+        sd[f"{prefix}.ff.net.2.weight"] = _t_inv(blk["ff"]["net_2"]["kernel"])
+        sd[f"{prefix}.ff.net.2.bias"] = np.asarray(blk["ff"]["net_2"]["bias"])
+        if "mv_block" in p["blocks"]:
+            mv = _index(p["blocks"]["mv_block"], i)
+            mp = f"mv_blocks.{i}"
+            _adaln_export(sd, f"{mp}.norm1", mv["norm1"])
+            _attn_export(sd, f"{mp}.attn1", mv["attn1"])
+            sd[f"{mp}.proj_out.weight"] = _t_inv(mv["proj_out"]["kernel"])
+            sd[f"{mp}.proj_out.bias"] = np.asarray(mv["proj_out"]["bias"])
+            sd[f"{mp}.cam_encoder.weight"] = _t_inv(mv["cam_encoder_kernel"])
+            sd[f"{mp}.cam_encoder.bias"] = np.asarray(mv["cam_encoder_bias"])
+
+    sd["norm_final.weight"] = np.asarray(p["norm_final"]["scale"])
+    sd["norm_final.bias"] = np.asarray(p["norm_final"]["bias"])
+    sd["norm_out.linear.weight"] = _t_inv(p["norm_out"]["linear_kernel"])
+    sd["norm_out.linear.bias"] = np.asarray(p["norm_out"]["linear_bias"])
+    if "norm_scale" in p["norm_out"]:
+        sd["norm_out.norm.weight"] = np.asarray(p["norm_out"]["norm_scale"])
+        sd["norm_out.norm.bias"] = np.asarray(p["norm_out"]["norm_bias"])
+    sd["proj_out.weight"] = _t_inv(p["proj_out"]["kernel"])
+    sd["proj_out.bias"] = np.asarray(p["proj_out"]["bias"])
+
+    if "action_embed" in p:
+        sd["action_embed.mlp.0.weight"] = _t_inv(p["action_embed"]["fc1"]["kernel"])
+        sd["action_embed.mlp.0.bias"] = np.asarray(p["action_embed"]["fc1"]["bias"])
+        sd["action_embed.mlp.3.weight"] = _t_inv(p["action_embed"]["fc2"]["kernel"])
+        sd["action_embed.mlp.3.bias"] = np.asarray(p["action_embed"]["fc2"]["bias"])
+        sd["action_embed.mask_embed.weight"] = np.asarray(
+            p["action_embed"]["mask_embed"])[None]
+    if "action_recon" in p:
+        sd["action_recon.mlp.0.weight"] = _t_inv(p["action_recon"]["fc1"]["kernel"])
+        sd["action_recon.mlp.0.bias"] = np.asarray(p["action_recon"]["fc1"]["bias"])
+        sd["action_recon.mlp.2.weight"] = _t_inv(p["action_recon"]["fc2"]["kernel"])
+        sd["action_recon.mlp.2.bias"] = np.asarray(p["action_recon"]["fc2"]["bias"])
+    if "initial_combine_linear" in p:
+        sd["initial_combine_linear.weight"] = _t_inv(p["initial_combine_linear"]["kernel"])
+        sd["initial_combine_linear.bias"] = np.asarray(p["initial_combine_linear"]["bias"])
+    return sd
+
+
+def export_torch_pretrained(folder: str, params: Dict[str, Any],
+                            config: DiTConfig) -> None:
+    """Write a diffusers-loadable transformer folder: config.json (the
+    reference's registered field surface incl. its constant defaults,
+    class-name fixup like save_pretrained cogvideox_control.py:1078-1087)
+    + diffusion_pytorch_model.safetensors in torch layout."""
+    import dataclasses
+
+    from safetensors.numpy import save_file
+
+    out = Path(folder)
+    out.mkdir(parents=True, exist_ok=True)
+    cfg = dataclasses.asdict(config)
+    cfg.pop("action_dim", None)  # ours only; reference hardcodes 7
+    cfg.pop("joint_final_norm", None)  # ours: explicit; reference: 5b class
+    cfg.update({
+        "_class_name": "CogVideoXTransformer3DModelTraj",
+        # constants the reference registers but we don't vary
+        "ofs_embed_dim": None,
+        "dropout": 0.0,
+        "activation_fn": "gelu-approximate",
+        "timestep_activation_fn": "silu",
+        "norm_elementwise_affine": True,
+        "num_control_blocks": 12,
+    })
+    with open(out / "config.json", "w") as f:
+        json.dump(cfg, f, indent=2)
+    sd = export_dit_state_dict(params, config)
+    # safetensors requires contiguous, owned buffers
+    sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
+    save_file(sd, str(out / "diffusion_pytorch_model.safetensors"))
+
+
+# ---------------------------------------------------------------------------
 # VAE conversion
 # ---------------------------------------------------------------------------
 

@@ -301,3 +301,66 @@ def test_mv_blocks_initialization_surgery(tmp_path):
     moved = np.abs(p1["params"]["blocks"]["mv_block"]["attn1"]["to_q"]["kernel"]
                    - p0["params"]["blocks"]["mv_block"]["attn1"]["to_q"]["kernel"]).max()
     assert moved > 0
+
+
+def test_export_dit_state_dict_roundtrip(tmp_path):
+    """ours -> torch layout -> ours must be the identity, leaf for leaf —
+    an orv_tpu-trained model can go back to the reference stack (its
+    save_pretrained folder format, cogvideox_control.py:1056-1087)."""
+    from orv_tpu.models.weights import (
+        export_dit_state_dict, export_torch_pretrained, load_torch_state_dict,
+    )
+
+    sd0 = _torch_style_dit_sd(CFG)
+    params = convert_dit_state_dict(sd0, CFG)
+    sd = export_dit_state_dict(params, CFG)
+    assert set(sd.keys()) == set(sd0.keys())
+    for k in sd0:
+        np.testing.assert_array_equal(sd[k], sd0[k], err_msg=k)
+
+    # full folder write/read: safetensors + diffusers-style config.json
+    out = tmp_path / "torch_export"
+    export_torch_pretrained(out, params, CFG)
+    back = load_torch_state_dict(str(out))
+    assert set(back.keys()) == set(sd0.keys())
+    for k in sd0:
+        np.testing.assert_array_equal(back[k], sd0[k], err_msg=k)
+    import json as _json
+
+    cfg = _json.loads((out / "config.json").read_text())
+    assert cfg["_class_name"] == "CogVideoXTransformer3DModelTraj"
+    assert cfg["num_layers"] == CFG.num_layers
+    assert cfg["activation_fn"] == "gelu-approximate"
+
+    # round-trip through the converter again: identical param tree
+    params2 = convert_dit_state_dict(back, CFG)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_dit_state_dict_multiview_roundtrip():
+    """Multiview trees export mv_blocks.* too (stage-3 checkpoints)."""
+    from orv_tpu.models.weights import export_dit_state_dict
+
+    mv_cfg = dataclasses.replace(CFG, multiview=True, max_n_view=2)
+    # ensure_mv_blocks path: a non-mv sd loaded into an mv config grows
+    # mv_blocks — the export must emit them
+    params = convert_dit_state_dict(_torch_style_dit_sd(CFG), mv_cfg)
+    sd = export_dit_state_dict(params, mv_cfg)
+    assert "mv_blocks.0.attn1.to_q.weight" in sd
+    assert "mv_blocks.1.cam_encoder.weight" in sd
+    params2 = convert_dit_state_dict(sd, mv_cfg)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(params2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_export_refuses_int8_trees():
+    from orv_tpu.models.quantize import quantize_linear_params
+    from orv_tpu.models.weights import export_dit_state_dict
+
+    params = convert_dit_state_dict(_torch_style_dit_sd(CFG), CFG)
+    qparams = quantize_linear_params(params)
+    with pytest.raises(ValueError, match="int8"):
+        export_dit_state_dict(qparams, CFG)
