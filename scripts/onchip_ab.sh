@@ -24,4 +24,10 @@ log "=== encode chunk 8 ==="
 run encode 1800 -- encode 8
 log "=== pab sampler (approximate serving mode, detail-only) ==="
 run sampler_pab 1800 -- sampler_pab
+log "=== step profile: top device-time fusions (elementwise budget) ==="
+timeout 1800 python scripts/profile_step.py > /tmp/profile_step.out 2>>/tmp/onchip_ab.err \
+  && log "profile_step -> /tmp/profile_step.out" || log "profile_step FAILED"
+log "=== full bench refresh (updates .bench_cache.json) ==="
+timeout 2400 python bench.py > /tmp/bench_full.out 2>>/tmp/onchip_ab.err \
+  && log "bench -> $(tail -1 /tmp/bench_full.out)" || log "bench FAILED"
 log "=== done ==="
