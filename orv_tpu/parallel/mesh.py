@@ -74,9 +74,10 @@ class MeshConfig:
     # sequence/context parallel: every DiT block's joint attention rings
     # the video tokens over `sp` (ops/ring_attention.py) — long-context
     # training for clips whose activations exceed one chip's HBM. Composes
-    # with dp (the ring's shard_map specs carry the dp batch sharding
-    # through); exclusive with fsdp/tp/pp. Innermost axis: KV chunks hop
-    # every layer, so the ring rides nearest-neighbor ICI links.
+    # with dp AND fsdp (the ring's shard_map specs carry the (dp, fsdp)
+    # batch sharding through; params never enter the shard_map, so ZeRO
+    # gathers stay outside it); exclusive with tp/pp. Innermost axis: KV
+    # chunks hop every layer, so the ring rides nearest-neighbor ICI links.
     sp: int = 1
 
     def resolve(self, n_devices: int) -> "MeshConfig":

@@ -330,8 +330,8 @@ def train(cfg: Config, vae=None, vae_params=None):
 
     mesh_cfg = tcfg.get("mesh", {}) or {}
     sp = int(mesh_cfg.get("sp", 1))
-    if sp > 1 and any(int(mesh_cfg.get(a, 1)) > 1 for a in ("fsdp", "tp", "pp")):
-        raise ValueError("train.mesh.sp composes with dp only (fsdp=tp=pp=1)")
+    if sp > 1 and any(int(mesh_cfg.get(a, 1)) > 1 for a in ("tp", "pp")):
+        raise ValueError("train.mesh.sp composes with dp/fsdp only (tp=pp=1)")
     mesh = make_mesh(MeshConfig(
         dp=mesh_cfg.get("dp", -1), fsdp=mesh_cfg.get("fsdp", 1),
         tp=mesh_cfg.get("tp", 1), pp=mesh_cfg.get("pp", 1), sp=sp,

@@ -323,9 +323,11 @@ def test_sp_train_step_matches_single_device():
     ref_state, ref_m = step(state, batch, rng)
     ref_leaves = jax.tree_util.tree_leaves(ref_state.params)
 
-    for axes in ({"dp": 1, "sp": 2}, {"dp": 2, "sp": 2}):
-        n = axes["dp"] * axes["sp"]
-        mesh = make_mesh(MeshConfig(dp=axes["dp"], sp=axes["sp"]),
+    for axes in ({"dp": 1, "sp": 2}, {"dp": 2, "sp": 2},
+                 {"dp": 1, "fsdp": 2, "sp": 2}):
+        n = axes["dp"] * axes.get("fsdp", 1) * axes["sp"]
+        mesh = make_mesh(MeshConfig(dp=axes["dp"], fsdp=axes.get("fsdp", 1),
+                                    sp=axes["sp"]),
                          devices=jax.devices("cpu")[:n])
         model_sp = ControlDiT(CFG, dtype=jnp.float32, sp_mesh=mesh)
         sched = make_schedule()
