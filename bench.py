@@ -23,7 +23,11 @@ driver enforces an outer timeout, so this script is deadline-proof:
   immediately in a fresh subprocess — no sleeps;
 - quiet-window timings persist in `.bench_cache.json`; when the current
   window never goes quiet the cached value is reported with a per-phase
-  `"stale"` flag instead of a garbage contended number.
+  `"stale"` flag instead of a garbage contended number;
+- every cache entry is fingerprinted on the source files + ORV_TPU_* knobs
+  that produce it: editing e.g. models/vae.py invalidates the cached decode
+  number, so a regression is measured and reported, never masked by a
+  historical best from code that no longer runs.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 denominator is an engineering estimate of the reference stack on one
@@ -34,6 +38,7 @@ JSON carries `"baseline_is_estimate": true` so the ratio is never
 mistaken for a measured-vs-measured figure.
 """
 
+import hashlib
 import json
 import os
 import pathlib
@@ -65,6 +70,45 @@ CACHE_PATH = pathlib.Path(__file__).parent / ".bench_cache.json"
 # quiet-window sanity ceilings (~2x known-good): timings above these mean
 # the window was contended and the value is not representative
 SANE = {"sampler": 25.0, "sampler_pab": 25.0, "vae": 4.0, "train": 1.0, "encode": 8.0}
+
+_PHASE_KEY = {"sampler": "sampler_s", "sampler_pab": "sampler_pab_s",
+              "vae": "vae_decode_s", "train": "train_step_s",
+              "encode": "vae_encode_s"}
+
+# Cache fingerprinting: each cached timing is keyed on a hash of the source
+# files + env knobs that produce it, so a code change invalidates the cached
+# number instead of being masked by a historical best (min() across
+# different code versions is not a metric). bench.py itself is included in
+# every phase: the phase function IS the measurement definition.
+_REPO = pathlib.Path(__file__).parent
+_COMMON_SRC = ["bench.py", "orv_tpu/models/dit.py", "orv_tpu/models/layers.py",
+               "orv_tpu/ops/attention.py", "orv_tpu/ops/adaln.py"]
+_SAMPLER_SRC = _COMMON_SRC + ["orv_tpu/models/quantize.py",
+                              "orv_tpu/pipelines/sample.py",
+                              "orv_tpu/schedulers/scheduling.py"]
+_PHASE_DEPS = {
+    "sampler": (_SAMPLER_SRC, ["ORV_TPU_FUSED_ADALN"]),
+    "sampler_pab": (_SAMPLER_SRC, ["ORV_TPU_FUSED_ADALN"]),
+    "vae": (["bench.py", "orv_tpu/models/vae.py"],
+            ["ORV_TPU_UPSAMPLE_PHASE", "ORV_TPU_CONV3D_TAPS"]),
+    "encode": (["bench.py", "orv_tpu/models/vae.py"], ["ORV_TPU_CONV3D_TAPS"]),
+    "train": (_COMMON_SRC + ["orv_tpu/parallel/train_step.py"],
+              ["ORV_TPU_FUSED_ADALN"]),
+}
+
+
+def _fingerprint(phase: str) -> str:
+    files, envs = _PHASE_DEPS[phase]
+    h = hashlib.sha256()
+    for f in sorted(files):
+        try:
+            h.update((_REPO / f).read_bytes())
+        except OSError:
+            h.update(b"<missing>")
+        h.update(b"\0")
+    for e in sorted(envs):
+        h.update(f"{e}={os.environ.get(e, '')}".encode())
+    return h.hexdigest()[:12]
 
 
 def _remaining() -> float:
@@ -349,23 +393,47 @@ def _run_phase_subprocess(phase: str, extra=(), timeout=None) -> float:
 
 
 def _load_cache() -> dict:
+    """Load the v2 cache: {key: {"t": seconds, "fp": fingerprint}}.
+
+    Legacy v1 entries (bare floats, no fingerprint) are migrated with
+    fp=None, which never matches a current fingerprint — they surface as
+    "cache entry for unknown code" and are replaced on first fresh
+    measurement rather than min()-merged."""
     try:
-        return json.loads(CACHE_PATH.read_text())
+        raw = json.loads(CACHE_PATH.read_text())
     except Exception:  # noqa: BLE001 — missing/corrupt cache is a cold start
         return {}
+    cache = {}
+    for k, v in raw.items():
+        if isinstance(v, dict) and "t" in v:
+            cache[k] = {"t": float(v["t"]), "fp": v.get("fp")}
+        elif isinstance(v, (int, float)):
+            cache[k] = {"t": float(v), "fp": None}
+    return cache
+
+
+def _cache_get(cache: dict, key: str, fp: str):
+    """Cached timing for `key`, or None if absent or measured under a
+    different code/env fingerprint (a stale-code number is worse than no
+    number: it can mask a regression)."""
+    ent = cache.get(key)
+    if ent is None or ent.get("fp") != fp:
+        return None
+    return float(ent["t"])
 
 
 def _save_cache(cache: dict) -> None:
     try:
-        # merge with on-disk contents: another process (or a manual seed)
-        # may have written keys this run never measured — never drop them,
-        # and for timing keys keep the BEST (lowest) of both so overlapping
-        # runs can never regress the best-so-far number
+        # merge with on-disk contents: another process may have written keys
+        # this run never measured. min()-merge ONLY within the same
+        # fingerprint — across code versions the in-memory (current-code)
+        # entry wins outright, so a regression is reported, not hidden.
         on_disk = _load_cache()
         for k, v in on_disk.items():
-            if k in cache and isinstance(v, (int, float)):
-                cache[k] = min(float(cache[k]), float(v))
-            elif k not in cache:
+            if k in cache:
+                if cache[k].get("fp") == v.get("fp"):
+                    cache[k] = {"t": min(cache[k]["t"], v["t"]), "fp": v.get("fp")}
+            else:
                 cache[k] = v
         CACHE_PATH.write_text(json.dumps(cache, indent=1) + "\n")
     except OSError:
@@ -409,16 +477,19 @@ def _emit(results: dict, cache: dict, incomplete: list) -> None:
     timings. Called after every phase (and once at startup) so that an
     outer kill at ANY point leaves a parseable last line."""
     global _EMITTED
-    def get(phase: str, key: str):
+    def get(phase: str):
         if phase in results:
             return results[phase], False
-        if cache.get(key) is not None:
-            return float(cache[key]), True
+        # cached values count only under the CURRENT code fingerprint —
+        # an entry measured on since-edited code is no value at all
+        val = _cache_get(cache, _PHASE_KEY[phase], _fingerprint(phase))
+        if val is not None:
+            return val, True
         return None, False
 
-    sampler_s, sampler_stale = get("sampler", "sampler_s")
-    vae_s, vae_stale = get("vae", "vae_decode_s")
-    train_s, train_stale = get("train", "train_step_s")
+    sampler_s, sampler_stale = get("sampler")
+    vae_s, vae_stale = get("vae")
+    train_s, train_stale = get("train")
     if sampler_s is None or vae_s is None:
         return  # nothing meaningful to report yet (cold cache, first phase)
 
@@ -431,8 +502,10 @@ def _emit(results: dict, cache: dict, incomplete: list) -> None:
         "vae_decode_s": round(vae_s, 3),
         # the chip is multi-tenant: when every retry window was slow the
         # decode figure reflects co-tenant load, not this code (quiet-window
-        # decode is ~1.7s; the sampler/train phases are contention-stable)
-        "vae_contended_window": bool(vae_s > SANE["vae"]),
+        # decode is ~1.7s; the sampler/train phases are contention-stable).
+        # None = decode came from the cache this run, so the flag is not a
+        # statement about the current window at all.
+        "vae_contended_window": None if vae_stale else bool(vae_s > SANE["vae"]),
         "total_s": round(total, 2),
         "serving_config": "int8 W8A8 linears + int8-QK^T flash attention (bf16: models default)",
         "device": _device_str(),
@@ -444,12 +517,12 @@ def _emit(results: dict, cache: dict, incomplete: list) -> None:
         detail["stale"] = stale
     if incomplete:
         detail["incomplete"] = list(incomplete)
-    encode_s, encode_stale = get("encode", "vae_encode_s")
+    encode_s, encode_stale = get("encode")
     if encode_s is not None:
         detail["vae_encode_s"] = round(encode_s, 3)
         if encode_stale:
             detail.setdefault("stale", []).append("encode")
-    pab_s, pab_stale = get("sampler_pab", "sampler_pab_s")
+    pab_s, pab_stale = get("sampler_pab")
     if pab_s is not None:
         # APPROXIMATE serving mode (PAB attention broadcast, opt-in) —
         # informational only, never the headline value above
@@ -510,21 +583,18 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
             rung += 1
         except Exception as e:  # noqa: BLE001
             print(f"bench: {phase} attempt failed: {e}", file=sys.stderr, flush=True)
+    key = _PHASE_KEY[phase]
+    fp = _fingerprint(phase)
     if best is not None and best <= sane:
-        key = {"sampler": "sampler_s", "sampler_pab": "sampler_pab_s",
-           "vae": "vae_decode_s", "train": "train_step_s",
-           "encode": "vae_encode_s"}[phase]
-        if cache.get(key) is None or best < float(cache[key]):
-            cache[key] = round(best, 4)
+        cached = _cache_get(cache, key, fp)
+        if cached is None or best < cached:
+            cache[key] = {"t": round(best, 4), "fp": fp}
             _save_cache(cache)
         return best
-    # all windows were contended: prefer the cached quiet-window number
-    # (reported stale by _emit) over a garbage figure — unless there is no
-    # cache, in which case report the best we saw, honestly
-    key = {"sampler": "sampler_s", "sampler_pab": "sampler_pab_s",
-           "vae": "vae_decode_s", "train": "train_step_s",
-           "encode": "vae_encode_s"}[phase]
-    if cache.get(key) is not None:
+    # all windows were contended: prefer the cached quiet-window number for
+    # THIS code fingerprint (reported stale by _emit) over a garbage figure —
+    # unless there is none, in which case report the best we saw, honestly
+    if _cache_get(cache, key, fp) is not None:
         return None
     return best
 
@@ -591,6 +661,9 @@ def main():
                   "reporting cached quiet-window timings", file=sys.stderr,
                   flush=True)
             _emit(results, cache, incomplete)
+            if _EMITTED == 0:  # cache entries exist but fingerprints mismatch
+                _emit_nothing(results, incomplete,
+                              "tunnel down; cached numbers are for older code")
             return
 
     for phase, kwargs in [
@@ -609,10 +682,8 @@ def main():
         if _remaining() < 90.0:
             break
         val = _phase_with_retries(phase, cache, **kwargs)
-        key = {"sampler": "sampler_s", "sampler_pab": "sampler_pab_s",
-           "vae": "vae_decode_s", "train": "train_step_s",
-           "encode": "vae_encode_s"}[phase]
-        if val is not None or cache.get(key) is not None:
+        if val is not None or _cache_get(cache, _PHASE_KEY[phase],
+                                         _fingerprint(phase)) is not None:
             # measured fresh, or a cached quiet-window number stands in
             # (stale-flagged by _emit); a phase that errored every attempt
             # with no cache STAYS in `incomplete` so the report shows it
@@ -625,14 +696,19 @@ def main():
     # sampler or vae has neither a fresh result nor a cache entry, so a run
     # where e.g. only train/vae succeeded would otherwise print NOTHING
     if _EMITTED == 0:
-        print(json.dumps({
-            "metric": "frames/sec/chip (49x320x480 occupancy-conditioned, 2B DiT, 50-step sampler)",
-            "value": None, "unit": "frames/s", "vs_baseline": None,
-            "baseline_is_estimate": True,
-            "detail": {"error": "sampler/vae never measured and not cached",
-                       "incomplete": incomplete,
-                       "partial": {p: round(v, 4) for p, v in results.items()}},
-        }), flush=True)
+        _emit_nothing(results, incomplete,
+                      "sampler/vae never measured and not cached")
+
+
+def _emit_nothing(results: dict, incomplete: list, error: str) -> None:
+    print(json.dumps({
+        "metric": "frames/sec/chip (49x320x480 occupancy-conditioned, 2B DiT, 50-step sampler)",
+        "value": None, "unit": "frames/s", "vs_baseline": None,
+        "baseline_is_estimate": True,
+        "detail": {"error": error,
+                   "incomplete": incomplete,
+                   "partial": {p: round(v, 4) for p, v in results.items()}},
+    }), flush=True)
 
 
 if __name__ == "__main__":

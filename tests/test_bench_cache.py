@@ -1,0 +1,91 @@
+"""Bench cache fingerprinting (VERDICT r3 #3): a cached timing only counts
+under the code/env fingerprint it was measured with — editing a dependency
+file invalidates the entry, so bench reports a regression instead of
+min()-merging it away against history.
+
+These tests drive bench.py's cache layer directly (no TPU, no phases).
+"""
+
+import importlib.util
+import json
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture()
+def bench(tmp_path, monkeypatch):
+    spec = importlib.util.spec_from_file_location("bench_under_test", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_under_test"] = mod
+    spec.loader.exec_module(mod)
+    monkeypatch.setattr(mod, "CACHE_PATH", tmp_path / "cache.json")
+    yield mod
+    sys.modules.pop("bench_under_test", None)
+
+
+def test_fingerprint_changes_with_env(bench, monkeypatch):
+    fp0 = bench._fingerprint("vae")
+    monkeypatch.setenv("ORV_TPU_UPSAMPLE_PHASE", "0")
+    fp1 = bench._fingerprint("vae")
+    assert fp0 != fp1
+    # an env knob a phase does not depend on must NOT perturb it
+    monkeypatch.setenv("ORV_TPU_UPSAMPLE_PHASE", "0")
+    assert bench._fingerprint("train") == bench._fingerprint("train")
+
+
+def test_fingerprint_changes_with_source(bench, monkeypatch, tmp_path):
+    fp0 = bench._fingerprint("vae")
+    # point the repo root at a copy with an edited vae.py
+    fake = tmp_path / "repo"
+    (fake / "orv_tpu" / "models").mkdir(parents=True)
+    (fake / "bench.py").write_bytes((REPO / "bench.py").read_bytes())
+    (fake / "orv_tpu" / "models" / "vae.py").write_bytes(
+        (REPO / "orv_tpu" / "models" / "vae.py").read_bytes() + b"\n# edited\n")
+    monkeypatch.setattr(bench, "_REPO", fake)
+    assert bench._fingerprint("vae") != fp0
+
+
+def test_cache_get_rejects_mismatched_fingerprint(bench):
+    cache = {"vae_decode_s": {"t": 1.73, "fp": "aaaa"}}
+    assert bench._cache_get(cache, "vae_decode_s", "aaaa") == 1.73
+    assert bench._cache_get(cache, "vae_decode_s", "bbbb") is None
+    assert bench._cache_get(cache, "missing", "aaaa") is None
+
+
+def test_legacy_v1_entries_migrate_with_null_fp(bench):
+    bench.CACHE_PATH.write_text(json.dumps({"vae_decode_s": 1.73}))
+    cache = bench._load_cache()
+    assert cache["vae_decode_s"] == {"t": 1.73, "fp": None}
+    # a null fp never matches a real fingerprint -> legacy numbers are
+    # "for unknown code" and cannot stand in for a fresh measurement
+    assert bench._cache_get(cache, "vae_decode_s", bench._fingerprint("vae")) is None
+
+
+def test_save_merges_min_only_within_same_fp(bench):
+    # on disk: an OLD-code best of 1.0s
+    bench.CACHE_PATH.write_text(json.dumps({"vae_decode_s": {"t": 1.0, "fp": "old"}}))
+    # in memory: the current code measured SLOWER (a regression)
+    cache = {"vae_decode_s": {"t": 2.5, "fp": "new"}}
+    bench._save_cache(cache)
+    on_disk = json.loads(bench.CACHE_PATH.read_text())
+    # the regression is recorded; the old-code 1.0 does NOT win
+    assert on_disk["vae_decode_s"] == {"t": 2.5, "fp": "new"}
+
+    # same fingerprint: best-of-both survives (overlapping runs)
+    bench.CACHE_PATH.write_text(json.dumps({"vae_decode_s": {"t": 2.0, "fp": "new"}}))
+    cache = {"vae_decode_s": {"t": 2.5, "fp": "new"}}
+    bench._save_cache(cache)
+    on_disk = json.loads(bench.CACHE_PATH.read_text())
+    assert on_disk["vae_decode_s"]["t"] == 2.0
+
+
+def test_save_preserves_unmeasured_keys(bench):
+    bench.CACHE_PATH.write_text(json.dumps({"train_step_s": {"t": 0.42, "fp": "x"}}))
+    cache = {"sampler_s": {"t": 11.0, "fp": "y"}}
+    bench._save_cache(cache)
+    on_disk = json.loads(bench.CACHE_PATH.read_text())
+    assert set(on_disk) == {"train_step_s", "sampler_s"}
