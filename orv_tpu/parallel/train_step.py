@@ -79,6 +79,7 @@ def make_optimizer(
     max_grad_norm: float = 1.0,
     grad_accum_steps: int = 1,
     trainable_predicate: Optional[Callable[[tuple], bool]] = None,
+    beta3: float = 0.98,
 ):
     """trainable_predicate(path_keys) -> bool selectively freezes params
     (reference _set_trainable_parameters: multiview stage trains only
@@ -94,8 +95,21 @@ def make_optimizer(
             learning_rate=1.0, betas=(beta1, beta2), eps=epsilon,
             weight_decay=weight_decay,
         )
+    elif optimizer == "came":
+        # reference `came` branch (utils.py:150-163): came-pytorch with
+        # eps=(1e-30, 1e-16), betas=(beta1, beta2, beta3) — factored second
+        # moments + confidence-guided first-moment scaling (arXiv 2307.02047)
+        from .came import came as _came
+
+        inner = _came(
+            learning_rate_schedule, b1=beta1, b2=beta2, b3=beta3,
+            weight_decay=weight_decay,
+        )
     else:
-        raise ValueError(f"unsupported optimizer {optimizer} (adam/adamw/prodigy)")
+        raise ValueError(
+            f"unsupported optimizer {optimizer} (adam/adamw/prodigy/came); "
+            "the reference's bnb-8bit/torchao-4bit variants are CUDA-only "
+            "and have no TPU analog (see PARITY.md)")
     tx = optax.chain(optax.clip_by_global_norm(max_grad_norm), inner)
     if trainable_predicate is not None:
         def labels(params):
