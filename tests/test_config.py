@@ -113,3 +113,31 @@ def test_build_dit_config_field_driven():
                       overrides=["transformer.not_a_model_field=3"])
     with pytest.raises(ValueError, match="not_a_model_field"):
         build_dit_config(bad)
+
+
+REF_TRANSFORMER = Path("/root/reference/config/transformer")
+
+
+@pytest.mark.skipif(not REF_TRANSFORMER.is_dir(), reason="reference tree absent")
+def test_every_reference_transformer_config_has_a_counterpart():
+    """VERDICT r3 #7: each reference transformer json must have a yaml here
+    whose shared scalar fields agree (the reference carries extra
+    diffusers-plumbing keys — _class_name, activation_fn, ... — that are
+    fixed architecture facts in our DiTConfig, not per-config choices)."""
+    import json
+
+    import yaml
+
+    jsons = sorted(REF_TRANSFORMER.glob("*.json"))
+    assert jsons, "reference transformer configs not found"
+    for ref_path in jsons:
+        ours = CFG_DIR / "transformer" / (ref_path.stem + ".yaml")
+        assert ours.is_file(), f"missing counterpart for {ref_path.name}"
+        ref = json.loads(ref_path.read_text())
+        mine = yaml.safe_load(ours.read_text())
+        for key in set(ref) & set(mine):
+            assert mine[key] == ref[key], (ref_path.name, key, mine[key], ref[key])
+        # rope is an explicit choice in every config of ours; the reference
+        # omits the key when false
+        assert mine["use_rotary_positional_embeddings"] == ref.get(
+            "use_rotary_positional_embeddings", False), ref_path.name
