@@ -154,6 +154,14 @@ class ControlDiT(nn.Module):
     # text replicated); all other ops are token-elementwise so XLA keeps
     # them sharded for free. Capability beyond the reference (SURVEY §5.7).
     sp_mesh: Optional[Any] = None
+    # activation-sharding mesh: when set, embed-boundary activations are
+    # pinned to the (dp, fsdp)-batch sharding with tp replicated. Without
+    # the pin, GSPMD back-propagates the tp kernel sharding of block 0's
+    # qkv into the patch-embed reshape/adds and, unable to reshard a
+    # batch-sharded [B,S,D] into the transposed tp layout, falls back to
+    # "Involuntary full rematerialization" (replicate-then-repartition) at
+    # every embed — an all-gather-shaped cliff on real multi-chip meshes.
+    act_mesh: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -264,9 +272,22 @@ class ControlDiT(nn.Module):
             temporal_interpolation_scale=c.temporal_interpolation_scale,
             dtype=self.dtype, param_dtype=self.param_dtype, name="patch_embed",
         )
+        def act_pin(x):
+            # pin [B, S, D] activations at the embed boundary: batch over
+            # (dp, fsdp), everything else replicated (Megatron convention —
+            # tp shards kernels, not block inputs). See act_mesh docstring.
+            if self.act_mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axes = tuple(a for a in ("dp", "fsdp")
+                         if a in self.act_mesh.axis_names and self.act_mesh.shape[a] > 1)
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.act_mesh, PartitionSpec(axes if axes else None)))
+
         raw_text = encoder_hidden_states.astype(self.dtype)
         video_cl = rearrange(hidden_states, "b f c h w -> b f h w c").astype(self.dtype)
-        embeds = patch_embed(raw_text, video_cl)
+        embeds = act_pin(patch_embed(raw_text, video_cl))
         text_len = encoder_hidden_states.shape[1]
         enc = embeds[:, :text_len]
         hidden = embeds[:, text_len:]
@@ -320,7 +341,7 @@ class ControlDiT(nn.Module):
                     if num_views > 1:
                         ctrl = rearrange(ctrl, "b (v f) c h w -> (b v) f c h w", v=num_views)
                     ctrl_cl = rearrange(ctrl, "b f c h w -> b f h w c").astype(self.dtype)
-                    ctrl_embeds = patch_embed(raw_text, ctrl_cl)
+                    ctrl_embeds = act_pin(patch_embed(raw_text, ctrl_cl))
                     controls.append(ctrl_embeds[:, text_len:])
                 if controls:
                     if len(controls) != c.num_control_keys:
@@ -336,7 +357,7 @@ class ControlDiT(nn.Module):
                     bias_init=nn.initializers.zeros, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="initial_combine_linear",
                 )(jnp.tile(hidden, (1, 1, c.num_control_keys)) + controls_cat)
-                hidden = hidden + combined
+                hidden = act_pin(hidden + combined)
         elif controls_only:
             return None
 

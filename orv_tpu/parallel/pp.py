@@ -214,6 +214,11 @@ def make_pp_train_step(
             or mesh.shape.get("sp", 1) != 1):
         raise ValueError("pp composes with dp only (fsdp=tp=sp=1); "
                          f"got mesh {dict(mesh.shape)}")
+    if getattr(model, "act_mesh", None) is not None:
+        # the pp step runs the model INSIDE shard_map (all axes manual),
+        # where with_sharding_constraint on mesh axes is illegal — and
+        # pointless: sharding is explicit here. Drop the pin.
+        model = model.clone(act_mesh=None)
     L = model.config.num_layers
     if L % pp_size != 0:
         raise ValueError(f"num_layers={L} not divisible by pp={pp_size}")

@@ -348,7 +348,11 @@ def train(cfg: Config, vae=None, vae_params=None):
     model = ControlDiT(dit_cfg, dtype=dtype,
                        remat=bool(tcfg.get("gradient_checkpointing", False)),
                        remat_policy=tcfg.get("remat_policy"),
-                       sp_mesh=mesh if sp > 1 else None)
+                       sp_mesh=mesh if sp > 1 else None,
+                       # pin embed-boundary activations to the batch
+                       # sharding under tp: stops GSPMD "Involuntary full
+                       # rematerialization" at patch_embed (VERDICT r3 #4)
+                       act_mesh=mesh if mesh.shape.get("tp", 1) > 1 else None)
 
     dataset = build_dataset(cfg, split="train")
     bs = int(tcfg.get("train_batch_size", 4))
@@ -392,6 +396,7 @@ def train(cfg: Config, vae=None, vae_params=None):
         opt.get("max_grad_norm", 1.0),
         int(tcfg.get("gradient_accumulation_steps", 1)),
         trainable_predicate=trainable,
+        beta3=opt.get("beta3") or 0.98,  # reference yaml ships beta3: null
     )
 
     shardings = param_shardings(params, mesh)
