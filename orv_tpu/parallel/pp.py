@@ -27,8 +27,15 @@ Design (GPipe schedule, TPU-idiomatic):
 - Per-tick step indices feed through scan `xs` (never the carry) — the
   axon backend miscompiles comparisons on carried integers (CLAUDE.md).
 
-Composes with dp (grads pmean over 'dp'); fsdp/tp under pp is not
-implemented (raises) — at pod scale pp replaces fsdp for this model size.
+Composes with dp (grads pmean over 'dp') AND fsdp (ZeRO: the local
+[L/pp, ...] block slice is additionally sharded over 'fsdp' at rest —
+params AND optimizer state — and all-gathered over 'fsdp' just before the
+block scan; AD's transpose of that gather is a psum_scatter, i.e. the
+gradients reduce-scatter back to shards for free). fsdp acts as extra
+data parallelism (batch shards over the combined (dp, fsdp) axes, rng
+folds on the linearized (dp, fsdp) index), so dp4 x pp2 and
+dp2 x fsdp2 x pp2 compute bit-identical steps — only the memory layout
+differs. tp/sp under pp still raise.
 
 Exactness: the pipelined forward/backward computes the same math as the
 resident step (no batch-coupled ops in the blocks), verified to ~1e-5 in
@@ -56,12 +63,35 @@ def _is_blocks(path) -> bool:
                for p in path)
 
 
-def _pp_specs(params: Any):
-    """shard_map PartitionSpecs: blocks' layer axis over 'pp', rest replicated."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: P("pp") if _is_blocks(path) and leaf.ndim >= 1 else P(),
-        params,
-    )
+def _fsdp_axis(shape: tuple, fsdp_size: int) -> int:
+    """ZeRO shard axis for one stacked block leaf [L, ...]: the largest
+    non-layer axis divisible by the fsdp size (same selection rule as
+    mesh._spec_for so the outer param shardings and the shard_map in_specs
+    agree and no resharding happens at the boundary). -1 = replicate."""
+    if fsdp_size <= 1 or len(shape) < 2:
+        return -1
+    for i in sorted(range(1, len(shape)), key=lambda i: -shape[i]):
+        if shape[i] % fsdp_size == 0 and shape[i] >= fsdp_size:
+            return i
+    return -1
+
+
+def _pp_specs(params: Any, fsdp_size: int = 1):
+    """shard_map PartitionSpecs: blocks' layer axis over 'pp' (+ ZeRO
+    'fsdp' on their largest free axis), everything else replicated (the
+    small pre/post params stay GSPMD-managed outside the shard_map)."""
+
+    def assign(path, leaf):
+        if not (_is_blocks(path) and leaf.ndim >= 1):
+            return P()
+        spec = [None] * leaf.ndim
+        spec[0] = "pp"
+        ax = _fsdp_axis(leaf.shape, fsdp_size)
+        if ax >= 0:
+            spec[ax] = "fsdp"
+        return P(*spec)
+
+    return jax.tree_util.tree_map_with_path(assign, params)
 
 
 def _pipeline(cell, block_params, hidden, enc, temb, rope, action_emb,
@@ -210,9 +240,9 @@ def make_pp_train_step(
     fraction (pp-1)/(n_micro+pp-1)."""
     pp_size = mesh.shape["pp"]
     dp_size = mesh.shape["dp"]
-    if (mesh.shape.get("fsdp", 1) != 1 or mesh.shape.get("tp", 1) != 1
-            or mesh.shape.get("sp", 1) != 1):
-        raise ValueError("pp composes with dp only (fsdp=tp=sp=1); "
+    fsdp_size = mesh.shape.get("fsdp", 1)
+    if mesh.shape.get("tp", 1) != 1 or mesh.shape.get("sp", 1) != 1:
+        raise ValueError("pp composes with dp and fsdp only (tp=sp=1); "
                          f"got mesh {dict(mesh.shape)}")
     if getattr(model, "act_mesh", None) is not None:
         # the pp step runs the model INSIDE shard_map (all axes manual),
@@ -226,21 +256,44 @@ def make_pp_train_step(
     remat = bool(getattr(model, "remat", False))
     apply_fn = make_pp_apply(model, pp_size, n_micro, remat=remat)
 
-    def device_loss(params, batch, rng):
-        if dp_size > 1:
-            # per-dp-shard noise/timesteps; dp=1 keeps the key untouched so
-            # the step matches the resident one bit-for-bit in expectation
-            rng = jax.random.fold_in(rng, jax.lax.axis_index("dp"))
-        loss, metrics = diffusion_loss(apply_fn, params, batch, schedule,
-                                       rng, **loss_kwargs)
-        loss = jax.lax.pmean(loss, "dp")
-        metrics = jax.tree_util.tree_map(lambda m: jax.lax.pmean(m, "dp"),
-                                         metrics)
-        return loss, metrics
-
     def loss_fn(params, batch, rng):
-        pspecs = _pp_specs(params)
-        bspecs = jax.tree_util.tree_map(lambda _: P("dp"), batch)
+        pspecs = _pp_specs(params, fsdp_size)
+        # static per-leaf gather axes, decided on GLOBAL shapes (inside the
+        # shard_map leaves are local and the largest-axis rule could pick a
+        # different axis)
+        gather_axes = jax.tree_util.tree_map_with_path(
+            lambda path, leaf: (_fsdp_axis(leaf.shape, fsdp_size)
+                                if _is_blocks(path) and leaf.ndim >= 1
+                                else -1),
+            params,
+        )
+
+        def device_loss(params, batch, rng):
+            if dp_size * fsdp_size > 1:
+                # per-data-shard noise/timesteps; fsdp acts as extra data
+                # parallelism, so fold on the linearized (dp, fsdp) index —
+                # dp4 and dp2 x fsdp2 draw identical per-shard keys. At
+                # dp=fsdp=1 the key stays untouched so the step matches the
+                # resident one bit-for-bit.
+                idx = (jax.lax.axis_index("dp") * fsdp_size
+                       + jax.lax.axis_index("fsdp"))
+                rng = jax.random.fold_in(rng, idx)
+            if fsdp_size > 1:
+                # ZeRO-3: materialize the full local [L/pp, ...] block slice
+                # from the fsdp shards; AD's transpose of the tiled gather is
+                # a psum_scatter, so grads reduce-scatter back for free
+                params = jax.tree_util.tree_map(
+                    lambda leaf, ax: leaf if ax < 0 else jax.lax.all_gather(
+                        leaf, "fsdp", axis=ax, tiled=True),
+                    params, gather_axes)
+            loss, metrics = diffusion_loss(apply_fn, params, batch, schedule,
+                                           rng, **loss_kwargs)
+            loss = jax.lax.pmean(loss, ("dp", "fsdp"))
+            metrics = jax.tree_util.tree_map(
+                lambda m: jax.lax.pmean(m, ("dp", "fsdp")), metrics)
+            return loss, metrics
+
+        bspecs = jax.tree_util.tree_map(lambda _: P(("dp", "fsdp")), batch)
         sharded = jax.shard_map(
             device_loss, mesh=mesh,
             in_specs=(pspecs, bspecs, P()),

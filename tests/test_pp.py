@@ -292,10 +292,49 @@ def test_pp_checkpoint_restore(tmp_path):
     assert np.isfinite(float(m["loss"]))
 
 
-def test_pp_rejects_fsdp_tp():
+def test_pp_composes_with_fsdp():
+    """fsdp2 x pp2 must equal dp2 x pp2 bit-for-bit: fsdp acts as extra
+    data parallelism (same linearized rng fold, same combined batch
+    sharding) — only the block params' at-rest layout differs (ZeRO
+    shards, gathered over 'fsdp' inside the step)."""
+    model, tx, state, batch = _model_state()
+    sched = make_schedule()
+    rng = jax.random.PRNGKey(11)
+
+    def run(cfg, n_dev):
+        mesh = make_mesh(cfg, devices=jax.devices("cpu")[:n_dev])
+        step = make_pp_train_step(model, tx, sched, mesh, n_micro=2,
+                                  recon_action=True, fold_rng=False,
+                                  donate=False)
+        st = TrainState(
+            step=state.step,
+            params=jax.device_put(state.params,
+                                  param_shardings(state.params, mesh)),
+            opt_state=state.opt_state)
+        return step(st, jax.device_put(batch, batch_sharding(mesh)), rng)
+
+    s_dp, m_dp = run(MeshConfig(dp=2, fsdp=1, tp=1, pp=2), 4)
+    s_fs, m_fs = run(MeshConfig(dp=1, fsdp=2, tp=1, pp=2), 4)
+    assert abs(float(m_fs["loss"]) - float(m_dp["loss"])) < 1e-5
+    err = _max_leaf_err(jax.device_get(s_fs.params), jax.device_get(s_dp.params))
+    assert err < 1e-5, f"fsdp x pp params diverge from dp x pp: {err}"
+
+    # 3-axis: dp2 x fsdp2 x pp2 == dp4 x pp2 (8 devices)
+    s_4dp, m_4dp = run(MeshConfig(dp=4, fsdp=1, tp=1, pp=2), 8)
+    s_mix, m_mix = run(MeshConfig(dp=2, fsdp=2, tp=1, pp=2), 8)
+    assert abs(float(m_mix["loss"]) - float(m_4dp["loss"])) < 1e-5
+    err = _max_leaf_err(jax.device_get(s_mix.params), jax.device_get(s_4dp.params))
+    assert err < 1e-5, f"dp x fsdp x pp diverges from dp-only x pp: {err}"
+
+
+def test_pp_rejects_tp_sp():
     model, tx, state, _ = _model_state()
-    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2, pp=1), backend="cpu")
-    with pytest.raises(ValueError, match="pp composes with dp only"):
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=1, tp=2, pp=1), backend="cpu")
+    with pytest.raises(ValueError, match="pp composes with dp and fsdp"):
+        make_pp_train_step(model, tx, make_schedule(), mesh)
+    mesh = make_mesh(MeshConfig(dp=4, fsdp=1, tp=1, pp=1, sp=2),
+                     backend="cpu")
+    with pytest.raises(ValueError, match="pp composes with dp and fsdp"):
         make_pp_train_step(model, tx, make_schedule(), mesh)
 
 
