@@ -12,6 +12,7 @@ conv kernel flattens as (c, ph, pw)).
 
 from __future__ import annotations
 
+from contextlib import contextmanager
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
@@ -201,13 +202,37 @@ class AdaLNZero(nn.Module):
         return hidden, enc, gate, enc_gate
 
 
+_FUSED_ADALN_OVERRIDE: Optional[bool] = None
+
+
+@contextmanager
+def fused_adaln_override(enabled: bool):
+    """Trace-time override of the fused-adaLN auto dispatch. The train-step
+    builders wrap their traced bodies in `fused_adaln_override(False)`:
+    on-chip A/B (2026-08-19, v5e) measured the fused custom-VJP training
+    step at 0.4344 s/step vs 0.4197 for XLA's autodiff of the unfused
+    lowering — the fused backward is a net regression under grad, while the
+    forward-only serving path keeps a measured win. Env knobs still take
+    precedence (`ORV_TPU_FUSED_ADALN=0` → XLA everywhere, `=force` → Pallas
+    everywhere incl. off-TPU interpret mode and training)."""
+    global _FUSED_ADALN_OVERRIDE
+    prev = _FUSED_ADALN_OVERRIDE
+    _FUSED_ADALN_OVERRIDE = enabled
+    try:
+        yield
+    finally:
+        _FUSED_ADALN_OVERRIDE = prev
+
+
 def _fused_adaln_ok() -> bool:
     """Use the fused Pallas adaLN/gated-residual kernels on the TPU backend
-    (now differentiable via custom VJPs, so the bf16 training path uses
-    them too); XLA elsewhere — mirroring `ops.attention.attention`'s auto
-    dispatch so CPU test meshes never pay interpreter-mode Pallas.
-    `ORV_TPU_FUSED_ADALN=0` restores the XLA lowering everywhere;
-    `=force` enables it off-TPU too (interpreter-mode kernels, tests)."""
+    for forward-only (serving) traces; XLA elsewhere — mirroring
+    `ops.attention.attention`'s auto dispatch so CPU test meshes never pay
+    interpreter-mode Pallas. Training traces run under
+    `fused_adaln_override(False)` (fused backward measured slower than
+    XLA's — see the contextmanager docstring). `ORV_TPU_FUSED_ADALN=0`
+    restores the XLA lowering everywhere; `=force` enables Pallas
+    everywhere (interpreter mode off-TPU, used by tests and on-chip A/B)."""
     import os
 
     v = os.environ.get("ORV_TPU_FUSED_ADALN", "1")
@@ -215,6 +240,8 @@ def _fused_adaln_ok() -> bool:
         return False
     if v == "force":
         return True
+    if _FUSED_ADALN_OVERRIDE is not None and not _FUSED_ADALN_OVERRIDE:
+        return False
     return jax.default_backend() == "tpu"
 
 

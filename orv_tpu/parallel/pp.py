@@ -305,11 +305,16 @@ def make_pp_train_step(
         )
         return sharded(params, batch, rng)
 
+    from orv_tpu.models.layers import fused_adaln_override
+
     def step_fn(state: TrainState, batch, rng):
         if fold_rng:
             rng = jax.random.fold_in(rng, state.step)
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, batch, rng)
+        # training traces use the XLA adaLN lowering (fused backward is a
+        # measured regression — see make_train_step / layers.py)
+        with fused_adaln_override(False):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, batch, rng)
         metrics["grad_norm"] = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

@@ -20,7 +20,7 @@ log "=== vae decode chunk 6: phase upconv ON vs OFF ==="
 run vae_phase1 1800 ORV_TPU_UPSAMPLE_PHASE=1 -- vae 6
 run vae_phase0 1800 ORV_TPU_UPSAMPLE_PHASE=0 -- vae 6
 log "=== train 1.4B: fused adaLN ON vs OFF ==="
-run train_fused 1500 ORV_TPU_FUSED_ADALN=1 -- train
+run train_fused 1500 ORV_TPU_FUSED_ADALN=force -- train  # =1 now means XLA under grad (measured default)
 run train_xla   1500 ORV_TPU_FUSED_ADALN=0 -- train
 log "=== encode chunk 8 ==="
 run encode 1800 -- encode 8

@@ -274,6 +274,32 @@ def test_fused_adaln_train_step_matches_xla_under_remat():
     assert abs(g_fus - g_ref) < 1e-3 * max(1.0, g_ref), (g_fus, g_ref)
 
 
+def test_fused_adaln_default_off_under_training_trace(monkeypatch):
+    """Training traces run under fused_adaln_override(False) because the
+    fused custom-VJP backward is a measured on-chip regression (0.4344 vs
+    0.4197 s/step, 1.4B, 2026-08-19). Precedence: env `0` < env `force` <
+    override < backend auto-detect."""
+    import os
+
+    from orv_tpu.models import layers
+
+    monkeypatch.delenv("ORV_TPU_FUSED_ADALN", raising=False)
+    # simulate running on the TPU backend: auto-detect says fused...
+    monkeypatch.setattr(layers.jax, "default_backend", lambda: "tpu")
+    assert layers._fused_adaln_ok() is True
+    # ...but a training trace (the override the step builders install)
+    # falls back to the XLA lowering
+    with layers.fused_adaln_override(False):
+        assert layers._fused_adaln_ok() is False
+        # env knobs still win over the override, both ways
+        monkeypatch.setenv("ORV_TPU_FUSED_ADALN", "force")
+        assert layers._fused_adaln_ok() is True
+        monkeypatch.setenv("ORV_TPU_FUSED_ADALN", "0")
+        assert layers._fused_adaln_ok() is False
+    monkeypatch.delenv("ORV_TPU_FUSED_ADALN", raising=False)
+    assert layers._fused_adaln_ok() is True  # override restored on exit
+
+
 def test_dp_batch_sharded_sampler_matches_single_device():
     """Data-parallel batched serving (evaluation.mesh.dp): batch sharded
     over the dp axis through the jitted sampler scan must reproduce the
