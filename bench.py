@@ -431,7 +431,9 @@ def _save_cache(cache: dict) -> None:
         on_disk = _load_cache()
         for k, v in on_disk.items():
             if k in cache:
-                if cache[k].get("fp") == v.get("fp"):
+                # *_rung entries record the last ladder rung that worked —
+                # last observation wins, min() would pin the optimistic rung
+                if cache[k].get("fp") == v.get("fp") and not k.endswith("_rung"):
                     cache[k] = {"t": min(cache[k]["t"], v["t"]), "fp": v.get("fp")}
             else:
                 cache[k] = v
@@ -565,6 +567,14 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
     ladder = list(ladder or [()])
     best = None
     rung = 0
+    rung_key = f"{_PHASE_KEY[phase]}_rung"
+    if len(ladder) > 1:
+        # start at the last rung that produced a sane timing under this
+        # code fingerprint: re-proving chunk 6 under co-tenant HBM pressure
+        # costs an OOM + a ~25-minute recompile before descending
+        prev = _cache_get(cache, rung_key, _fingerprint(phase))
+        if prev is not None:
+            rung = min(int(prev), len(ladder) - 1)
     for attempt in range(max_attempts):
         if _remaining() < 90.0:  # not enough budget for compile + trial
             break
@@ -589,7 +599,11 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
         cached = _cache_get(cache, key, fp)
         if cached is None or best < cached:
             cache[key] = {"t": round(best, 4), "fp": fp}
-            _save_cache(cache)
+        if len(ladder) > 1:
+            # remember which rung succeeded (last-write-wins, see
+            # _save_cache) so the next run starts there
+            cache[rung_key] = {"t": min(rung, len(ladder) - 1), "fp": fp}
+        _save_cache(cache)
         return best
     # all windows were contended: prefer the cached quiet-window number for
     # THIS code fingerprint (reported stale by _emit) over a garbage figure —
@@ -605,7 +619,24 @@ def main():
         fn = {"sampler": _bench_sampler, "sampler_pab": _bench_sampler_pab,
               "vae": _bench_vae, "train": _bench_train,
               "encode": _bench_encode}[phase]
-        print(fn())
+        val = fn()
+        print(val)
+        # A/B queue runs (scripts/onchip_ab*.sh) measure the same phase
+        # definitions — persist sane results under the current fingerprint
+        # so they warm the cache the driver's full bench reads. A/B legs
+        # with non-default knobs fingerprint differently and never stand
+        # in for the headline.
+        try:
+            v = float(val)
+        except (TypeError, ValueError):
+            return
+        if v <= SANE.get(phase, float("inf")):
+            cache = _load_cache()
+            key, fp = _PHASE_KEY[phase], _fingerprint(phase)
+            cached = _cache_get(cache, key, fp)
+            if cached is None or v < cached:
+                cache[key] = {"t": round(v, 4), "fp": fp}
+                _save_cache(cache)
         return
 
     cache = _load_cache()

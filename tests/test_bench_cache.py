@@ -89,3 +89,57 @@ def test_save_preserves_unmeasured_keys(bench):
     bench._save_cache(cache)
     on_disk = json.loads(bench.CACHE_PATH.read_text())
     assert set(on_disk) == {"train_step_s", "sampler_s"}
+
+
+def test_rung_entries_are_last_write_wins(bench):
+    # the ladder descended to rung 1 last run; this run re-proved rung 0
+    bench.CACHE_PATH.write_text(
+        json.dumps({"vae_decode_s_rung": {"t": 0, "fp": "new"}}))
+    cache = {"vae_decode_s_rung": {"t": 1, "fp": "new"}}
+    bench._save_cache(cache)
+    on_disk = json.loads(bench.CACHE_PATH.read_text())
+    # min() would pin the optimistic rung 0 forever — last observation wins
+    assert on_disk["vae_decode_s_rung"]["t"] == 1
+
+
+def test_ladder_starts_at_last_known_good_rung(bench, monkeypatch):
+    """VERDICT r3 weak #5: the VAE ladder consults the cache and starts at
+    the rung that last produced a sane timing instead of re-proving the
+    chunk-6 OOM (+25-min recompile) under co-tenant HBM pressure."""
+    fp = bench._fingerprint("vae")
+    runs = []
+
+    def fake_run(phase, extra, timeout):
+        runs.append(extra)
+        return 1.8  # sane (< SANE["vae"] = 4.0)
+
+    monkeypatch.setattr(bench, "_run_phase_subprocess", fake_run)
+    cache = {"vae_decode_s_rung": {"t": 1, "fp": fp}}
+    val = bench._phase_with_retries("vae", cache,
+                                    ladder=[(6,), (4,), (2,), (0,)])
+    assert val == 1.8
+    assert runs == [(4,)]  # started at rung 1, not rung 0
+    assert cache["vae_decode_s_rung"] == {"t": 1, "fp": fp}
+    # a mismatched fingerprint resets to rung 0
+    runs.clear()
+    cache = {"vae_decode_s_rung": {"t": 2, "fp": "stale"}}
+    bench._phase_with_retries("vae", cache, ladder=[(6,), (4,), (2,), (0,)])
+    assert runs == [(6,)]
+    assert cache["vae_decode_s_rung"] == {"t": 0, "fp": fp}
+
+
+def test_phase_mode_saves_sane_result_to_cache(bench, monkeypatch):
+    """`bench.py --phase X` (the on-chip A/B queue) persists sane timings
+    under the current fingerprint so queue runs warm the cache the full
+    bench reads — the round-4 queue measured 11.009s that never landed."""
+    monkeypatch.setattr(bench, "_bench_sampler", lambda: 11.009)
+    monkeypatch.setattr(sys, "argv", ["bench.py", "--phase", "sampler"])
+    bench.main()
+    on_disk = json.loads(bench.CACHE_PATH.read_text())
+    assert on_disk["sampler_s"] == {"t": 11.009,
+                                    "fp": bench._fingerprint("sampler")}
+    # an insane (contended-window) figure must NOT enter the cache
+    bench.CACHE_PATH.unlink()
+    monkeypatch.setattr(bench, "_bench_sampler", lambda: 250.0)
+    bench.main()
+    assert not bench.CACHE_PATH.exists()
