@@ -190,8 +190,13 @@ class ControlDiT(nn.Module):
         # timestep — so a sampler scanning 50 steps can compute them ONCE
         # (controls_only=True returns the concatenated control embeds and
         # skips the block stack) and feed them back per step via
-        # control_cache (~5 ms/step at the flagship shape). The reference
-        # re-embeds controls every step (cogvideox_control.py:827-858).
+        # control_cache. On-chip A/B (2026-08-19): NEUTRAL at the flagship
+        # shape (11.009 vs 11.01 s/50 steps) — XLA's loop-invariant code
+        # motion already hoists the embed out of the scan; this path keeps
+        # the hoist guaranteed (sharded/scan-carry variants where LICM may
+        # not fire) and is what the tp-serve dryrun leg exercises. The
+        # reference re-embeds controls every step
+        # (cogvideox_control.py:827-858).
         #
         # stage ("pre"/"post"/None): pipeline-parallel split points
         # (parallel/pp.py). "pre" runs embeddings + conditioning (steps 1-4)
