@@ -80,6 +80,9 @@ def make_optimizer(
     grad_accum_steps: int = 1,
     trainable_predicate: Optional[Callable[[tuple], bool]] = None,
     beta3: float = 0.98,
+    prodigy_safeguard_warmup: bool = False,
+    prodigy_decouple: bool = False,
+    prodigy_use_bias_correction: bool = False,
 ):
     """trainable_predicate(path_keys) -> bool selectively freezes params
     (reference _set_trainable_parameters: multiview stage trains only
@@ -90,10 +93,21 @@ def make_optimizer(
             weight_decay=weight_decay if optimizer == "adamw" else 0.0,
         )
     elif optimizer == "prodigy":
-        # reference optimizer factory supports prodigy (utils.py:16-163)
+        # reference optimizer factory supports prodigy (utils.py:16-163;
+        # yaml surface prodigy_{decouple,use_bias_correction,
+        # safeguard_warmup}, all default false). optax.contrib.prodigy
+        # exposes safeguard_warmup; decouple/bias-correction variants have
+        # no optax analog — fail loudly rather than silently train a
+        # different optimizer.
+        if prodigy_decouple or prodigy_use_bias_correction:
+            raise ValueError(
+                "prodigy_decouple / prodigy_use_bias_correction are not "
+                "supported by the optax prodigy implementation (reference "
+                "defaults are false — leave them unset)")
         inner = optax.contrib.prodigy(
             learning_rate=1.0, betas=(beta1, beta2), eps=epsilon,
             weight_decay=weight_decay,
+            safeguard_warmup=prodigy_safeguard_warmup,
         )
     elif optimizer == "came":
         # reference `came` branch (utils.py:150-163): came-pytorch with

@@ -262,7 +262,11 @@ def run_validation(cfg: Config, model: ControlDiT, dit_cfg: DiTConfig, params,
     scaling = float(cfg.get("vae", {}).get("scaling_factor", 1.15258426))
     rng = jax.random.PRNGKey(int(cfg.get("seed", 42)) + step)
     r_img, r_noise, r_samp = jax.random.split(rng, 3)
-    lat_m = jnp.asarray(batch["latents"][:1])
+    # train.num_validation_videos (reference train...sft.py:81): how many
+    # clips to denoise per validation, capped by the held-out batch
+    n_val = max(1, int(cfg.get("train", {}).get("num_validation_videos", 1)))
+    n_val = min(n_val, int(np.asarray(batch["latents"]).shape[0]))
+    lat_m = jnp.asarray(batch["latents"][:n_val])
     C = dit_cfg.out_channels
     F_lat, H, W = lat_m.shape[2], lat_m.shape[3], lat_m.shape[4]
     # a latents dataset may carry neither image_latents nor prompt_embeds
@@ -270,14 +274,14 @@ def run_validation(cfg: Config, model: ControlDiT, dit_cfg: DiTConfig, params,
     # validation must not crash where training proceeds
     if batch.get("image_latents") is not None:
         image_latents = prepare_image_latents(
-            jnp.asarray(batch["image_latents"][:1]), F_lat, r_img,
+            jnp.asarray(batch["image_latents"][:n_val]), F_lat, r_img,
             latent_channels=C, scaling_factor=scaling,
         ).astype(jnp.bfloat16)
     else:
-        image_latents = jnp.zeros((1, F_lat, C, H, W), jnp.bfloat16)
+        image_latents = jnp.zeros((n_val, F_lat, C, H, W), jnp.bfloat16)
     kwargs = {}
     if "actions" in batch:
-        kwargs["actions"] = jnp.asarray(batch["actions"][:1]).astype(jnp.bfloat16)
+        kwargs["actions"] = jnp.asarray(batch["actions"][:n_val]).astype(jnp.bfloat16)
     if dit_cfg.use_rotary_positional_embeddings:
         from orv_tpu.utils.embeddings import prepare_rotary_positional_embeddings
 
@@ -287,11 +291,11 @@ def run_validation(cfg: Config, model: ControlDiT, dit_cfg: DiTConfig, params,
             attention_head_dim=dit_cfg.attention_head_dim,
         )
     if batch.get("prompt_embeds") is not None:
-        prompt = jnp.asarray(batch["prompt_embeds"][:1]).astype(jnp.bfloat16)
+        prompt = jnp.asarray(batch["prompt_embeds"][:n_val]).astype(jnp.bfloat16)
     else:
-        prompt = jnp.zeros((1, dit_cfg.max_text_seq_length,
+        prompt = jnp.zeros((n_val, dit_cfg.max_text_seq_length,
                             dit_cfg.text_embed_dim), jnp.bfloat16)
-    noise = jax.random.normal(r_noise, (1, F_lat, C, H, W), dtype=jnp.float32)
+    noise = jax.random.normal(r_noise, (n_val, F_lat, C, H, W), dtype=jnp.float32)
     latents = jax.jit(sampler)(params, noise, image_latents, prompt, r_samp, **kwargs)
     val_dir = out_dir / "validation"
     val_dir.mkdir(exist_ok=True)
@@ -301,22 +305,58 @@ def run_validation(cfg: Config, model: ControlDiT, dit_cfg: DiTConfig, params,
         from orv_tpu.models.vae import decode_chunked
         from orv_tpu.utils.video import write_video
 
-        z = latents.transpose(0, 2, 1, 3, 4) / scaling
-        video = np.asarray(decode_chunked(vae, vae_params, z,
-                                          chunk_latent_frames=6)[0])
-        frames = np.clip((video.transpose(1, 2, 3, 0) + 1.0) / 2.0, 0, 1)
-        frames = (frames * 255).round().astype(np.uint8)
         fps = int(cfg.get("inference", {}).get("save_fps", 8))
-        path = Path(write_video(str(val_dir / f"step_{step:06d}.mp4"),
-                                frames, fps=fps))
-        if tracker is not None:
-            tracker.log_video("validation", str(path), step)
+        for i in range(n_val):
+            z = latents[i:i + 1].transpose(0, 2, 1, 3, 4) / scaling
+            video = np.asarray(decode_chunked(vae, vae_params, z,
+                                              chunk_latent_frames=6)[0])
+            frames = np.clip((video.transpose(1, 2, 3, 0) + 1.0) / 2.0, 0, 1)
+            frames = (frames * 255).round().astype(np.uint8)
+            suffix = f"_{i}" if n_val > 1 else ""
+            path = Path(write_video(
+                str(val_dir / f"step_{step:06d}{suffix}.mp4"), frames, fps=fps))
+            if tracker is not None:
+                tracker.log_video("validation", str(path), step)
     else:
         path = val_dir / f"step_{step:06d}_latents.npz"
-        np.savez(path, np.asarray(latents[0], dtype=np.float32))
+        np.savez(path, *(np.asarray(latents[i], dtype=np.float32)
+                         for i in range(n_val)))
         if tracker is not None:
             tracker.log_video("validation_latents", str(path), step)
     CONSOLE.log(f"validation @ step {step} -> {path}")
+
+
+def total_train_steps(tcfg, dataset_len: int, batch_size: int,
+                      mesh_shape: dict) -> int:
+    """Total optimizer steps. `max_train_steps` wins when set (reference
+    semantics, train...sft.py:718-759); with it null/absent,
+    `num_train_epochs` x steps-per-epoch, where one epoch is
+    ceil(len(dataset) / (global batch x grad-accum)) and the global batch
+    spans the dp x fsdp mesh extent."""
+    explicit = tcfg.get("max_train_steps")
+    if explicit is not None:
+        return int(explicit)
+    epochs = tcfg.get("num_train_epochs")
+    if epochs is None:
+        return 20000
+    replicas = mesh_shape.get("dp", 1) * mesh_shape.get("fsdp", 1)
+    global_batch = max(1, batch_size * replicas
+                       * int(tcfg.get("gradient_accumulation_steps", 1)))
+    steps_per_epoch = max(1, -(-dataset_len // global_batch))
+    return int(epochs) * steps_per_epoch
+
+
+def scaled_lr(tcfg, batch_size: int, mesh_shape: dict) -> float:
+    """Base learning rate, scaled when `train.scale_lr` is set (reference
+    base_train.yaml:165 + train...sft.py:483-486): lr x grad-accum x batch
+    x data-parallel worker count. The TPU analog of the reference's
+    `accelerator.num_processes` is the dp x fsdp mesh extent — the
+    batch-sharding axes; sp/tp/pp chips see the same batch."""
+    lr = float(tcfg.get("learning_rate", 2e-4))
+    if not tcfg.get("scale_lr"):
+        return lr
+    replicas = mesh_shape.get("dp", 1) * mesh_shape.get("fsdp", 1)
+    return lr * int(tcfg.get("gradient_accumulation_steps", 1)) * batch_size * replicas
 
 
 def train(cfg: Config, vae=None, vae_params=None):
@@ -354,7 +394,9 @@ def train(cfg: Config, vae=None, vae_params=None):
                        # rematerialization" at patch_embed (VERDICT r3 #4)
                        act_mesh=mesh if mesh.shape.get("tp", 1) > 1 else None)
 
-    dataset = build_dataset(cfg, split="train")
+    # train.overfit (reference train...sft.py:563-596): train on the small
+    # 'val' split so the loss should collapse — a data/optimizer smoke test
+    dataset = build_dataset(cfg, split="val" if tcfg.get("overfit") else "train")
     bs = int(tcfg.get("train_batch_size", 4))
     if tcfg.get("loader") == "grain":
         # grain pipeline (north-star BASELINE.json): process-sharded index
@@ -378,13 +420,18 @@ def train(cfg: Config, vae=None, vae_params=None):
     CONSOLE.log(f"model params: {n_params/1e9:.3f}B")
 
     opt = tcfg.get("optimizer", {}) or {}
-    total_steps = int(tcfg.get("max_train_steps", 20000))
+    total_steps = total_train_steps(tcfg, len(dataset), bs,
+                                    dict(mesh.shape))
+    base_lr = scaled_lr(tcfg, bs, dict(mesh.shape))
+    if tcfg.get("scale_lr"):
+        CONSOLE.log(f"scale_lr: learning rate {base_lr:.3g}")
     lr = make_lr_schedule(
         tcfg.get("lr_scheduler", "cosine_with_restarts"),
-        float(tcfg.get("learning_rate", 2e-4)),
+        base_lr,
         int(tcfg.get("lr_warmup_steps", 1000)),
         total_steps,
         int(tcfg.get("lr_num_cycles", 1)),
+        power=float(tcfg.get("lr_power", 1.0)),
     )
     trainable = None
     if cfg.get("multiview"):
@@ -397,6 +444,9 @@ def train(cfg: Config, vae=None, vae_params=None):
         int(tcfg.get("gradient_accumulation_steps", 1)),
         trainable_predicate=trainable,
         beta3=opt.get("beta3") or 0.98,  # reference yaml ships beta3: null
+        prodigy_safeguard_warmup=bool(opt.get("prodigy_safeguard_warmup", False)),
+        prodigy_decouple=bool(opt.get("prodigy_decouple", False)),
+        prodigy_use_bias_correction=bool(opt.get("prodigy_use_bias_correction", False)),
     )
 
     shardings = param_shardings(params, mesh)

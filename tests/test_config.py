@@ -141,3 +141,66 @@ def test_every_reference_transformer_config_has_a_counterpart():
         # omits the key when false
         assert mine["use_rotary_positional_embeddings"] == ref.get(
             "use_rotary_positional_embeddings", False), ref_path.name
+
+
+def test_scale_lr_matches_reference_formula():
+    """`train.scale_lr` (reference base_train.yaml:165): lr x grad-accum x
+    batch x data-parallel replica count, where the replica count is the
+    dp x fsdp mesh extent (sp/tp/pp chips see the same batch)."""
+    from orv_tpu.pipelines.train import scaled_lr
+
+    tcfg = {"learning_rate": 1e-4, "scale_lr": True,
+            "gradient_accumulation_steps": 4}
+    assert scaled_lr(tcfg, 2, {"dp": 2, "fsdp": 2, "tp": 4, "sp": 4}) == (
+        pytest.approx(1e-4 * 4 * 2 * 4))
+    # default (and reference default): off — lr passes through untouched
+    assert scaled_lr({"learning_rate": 1e-4}, 8, {"dp": 8}) == (
+        pytest.approx(1e-4))
+
+
+def test_total_train_steps_epoch_fallback():
+    """`max_train_steps` wins when set; with it null, num_train_epochs x
+    ceil(len / (batch x dp*fsdp replicas x grad-accum)) (reference
+    train...sft.py:718-759); neither -> the base default."""
+    from orv_tpu.pipelines.train import total_train_steps
+
+    assert total_train_steps({"max_train_steps": 7, "num_train_epochs": 3},
+                             100, 2, {}) == 7
+    t = {"max_train_steps": None, "num_train_epochs": 3,
+         "gradient_accumulation_steps": 2}
+    assert total_train_steps(t, 100, 2, {"dp": 2}) == 3 * 13  # ceil(100/8)
+    assert total_train_steps({"max_train_steps": None}, 10, 1, {}) == 20000
+
+
+def test_overfit_trains_on_val_split(monkeypatch, tmp_path):
+    """`train.overfit` (reference train...sft.py:563-596) swaps the training
+    data to the small 'val' split so the loss should collapse."""
+    from orv_tpu.configs import default_config_dir, load_config
+    from orv_tpu.pipelines import train as T
+
+    seen = {}
+
+    def fake_build(cfg, split="train", cascaded=False):
+        seen["split"] = split
+        raise RuntimeError("stop-after-split-choice")
+
+    monkeypatch.setattr(T, "build_dataset", fake_build)
+    overrides = [
+        f"dataset.data_root={tmp_path}",
+        "transformer.num_attention_heads=2", "transformer.attention_head_dim=8",
+        "transformer.num_layers=1", "transformer.text_embed_dim=32",
+        "transformer.time_embed_dim=32", "transformer.max_text_seq_length=8",
+        "transformer.pretrained_name_or_path=null",
+        f"train.output_path={tmp_path}",
+    ]
+    cfg = load_config(str(default_config_dir() / "base_train.yaml"),
+                      dataset_type="rt1",
+                      overrides=overrides + ["train.overfit=true"])
+    with pytest.raises(RuntimeError, match="stop-after-split-choice"):
+        T.train(cfg)
+    assert seen["split"] == "val"
+    cfg = load_config(str(default_config_dir() / "base_train.yaml"),
+                      dataset_type="rt1", overrides=overrides)
+    with pytest.raises(RuntimeError, match="stop-after-split-choice"):
+        T.train(cfg)
+    assert seen["split"] == "train"

@@ -381,6 +381,8 @@ def test_validation_renders_video_with_vae(pipeline_root, tmp_path):
         "transformer.pretrained_name_or_path=null",
         "train.max_train_steps=1", "train.train_batch_size=2",
         "train.lr_warmup_steps=0", "inference.num_inference_steps=2",
+        # reference train...sft.py:81: generate num_validation_videos clips
+        "train.num_validation_videos=2",
         f"train.output_path={tmp_path}", "train.output_dir=valrun",
     ]
     os.environ["ONLY_INIT_VAL"] = "1"
@@ -392,7 +394,8 @@ def test_validation_renders_video_with_vae(pipeline_root, tmp_path):
         os.environ.pop("ONLY_INIT_VAL", None)
     vids = list((tmp_path / "valrun" / "validation").glob("step_*.mp4")) + \
         list((tmp_path / "valrun" / "validation").glob("step_*.gif"))
-    assert vids, "validation must render a video when a VAE is available"
+    assert len(vids) == 2, \
+        f"validation must render num_validation_videos clips, got {vids}"
 
 
 def test_encode_raw_streams_long_clips():

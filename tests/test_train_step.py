@@ -445,3 +445,24 @@ def test_pp_refuses_sp_mesh():
     tx = make_optimizer(make_lr_schedule())
     with pytest.raises(ValueError, match="composes with dp only"):
         make_pp_train_step(model, tx, make_schedule(), mesh)
+
+
+def test_prodigy_config_surface():
+    """Reference prodigy yaml knobs (base_train.yaml:151-156):
+    safeguard_warmup maps onto optax.contrib.prodigy; the decouple /
+    bias-correction variants have no optax analog and must raise rather
+    than silently train a different optimizer."""
+    import pytest
+
+    tx = make_optimizer(make_lr_schedule(total_steps=10), "prodigy",
+                        prodigy_safeguard_warmup=True)
+    p = {"w": jnp.ones((4, 4))}
+    state = tx.init(p)
+    updates, _ = tx.update({"w": jnp.full((4, 4), 0.1)}, state, p)
+    assert jnp.all(jnp.isfinite(updates["w"]))
+    with pytest.raises(ValueError, match="prodigy_decouple"):
+        make_optimizer(make_lr_schedule(total_steps=10), "prodigy",
+                       prodigy_decouple=True)
+    with pytest.raises(ValueError, match="prodigy_decouple"):
+        make_optimizer(make_lr_schedule(total_steps=10), "prodigy",
+                       prodigy_use_bias_correction=True)
