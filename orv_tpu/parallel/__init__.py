@@ -1,6 +1,8 @@
 from orv_tpu.parallel.mesh import make_mesh, param_shardings, MeshConfig
 from orv_tpu.parallel.pp import make_pp_train_step
-from orv_tpu.parallel.train_step import TrainState, make_train_step, make_optimizer, make_lr_schedule
+from orv_tpu.parallel.train_step import (
+    TrainState, ema_params, make_train_step, make_optimizer, make_lr_schedule,
+)
 
 __all__ = [
     "make_mesh",
@@ -11,4 +13,5 @@ __all__ = [
     "make_pp_train_step",
     "make_optimizer",
     "make_lr_schedule",
+    "ema_params",
 ]

@@ -19,7 +19,7 @@ FSDP gathers inserted by XLA.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -83,6 +83,7 @@ def make_optimizer(
     prodigy_safeguard_warmup: bool = False,
     prodigy_decouple: bool = False,
     prodigy_use_bias_correction: bool = False,
+    ema_decay: Optional[float] = None,
 ):
     """trainable_predicate(path_keys) -> bool selectively freezes params
     (reference _set_trainable_parameters: multiview stage trains only
@@ -134,9 +135,69 @@ def make_optimizer(
             )
 
         tx = optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()}, labels)
+    if ema_decay is not None:
+        # AFTER multi_transform (frozen leaves carry zero updates, so the
+        # EMA still sees the full tree) and INSIDE MultiSteps (one EMA
+        # update per APPLIED step, not per accumulation micro-step)
+        tx = optax.chain(tx, params_ema(float(ema_decay)))
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx
+
+
+class EmaState(NamedTuple):
+    """State for `params_ema`: the exponential moving average of params."""
+    ema: Any
+
+
+def params_ema(decay: float) -> optax.GradientTransformation:
+    """Terminal chain element tracking an EMA of the POST-update params
+    (`ema <- decay*ema + (1-decay)*(params + updates)`). Beyond-reference:
+    the reference trainer keeps no EMA, but it is standard practice for
+    diffusion weights; serving/validation read it via `ema_params`.
+    Updates pass through unchanged. EMA leaves inherit the param
+    shardings (tree_map of sharded params), so fsdp/tp runs keep the
+    EMA sharded at rest like the params themselves."""
+
+    def init_fn(params):
+        # fresh buffers (never alias params: the train step donates its
+        # input state, and aliased leaves in a donated pytree fail at
+        # dispatch on the axon backend)
+        return EmaState(ema=jax.tree_util.tree_map(jnp.array, params))
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("params_ema requires params")
+        ema = jax.tree_util.tree_map(
+            lambda e, p, u: (decay * e + (1.0 - decay) * (p + u)).astype(e.dtype),
+            state.ema, params, updates)
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def ema_params(opt_state):
+    """Extract the EMA param tree from a (possibly nested) optimizer state
+    — walks chain tuples, MultiSteps and multi_transform wrappers. Returns
+    None when the optimizer was built without `ema_decay`."""
+    found = []
+
+    def walk(s):
+        if isinstance(s, EmaState):
+            found.append(s.ema)
+        elif isinstance(s, optax.MultiStepsState):
+            walk(s.inner_opt_state)
+        elif isinstance(s, dict):
+            for v in s.values():
+                walk(v)
+        elif isinstance(s, (tuple, list)):
+            for v in s:
+                walk(v)
+        elif hasattr(s, "inner_states"):  # optax.MultiTransformState
+            walk(s.inner_states)
+
+    walk(opt_state)
+    return found[0] if found else None
 
 
 def sample_from_moments(moments: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:

@@ -31,8 +31,8 @@ from orv_tpu.data import (
 from orv_tpu.models import ControlDiT, DiTConfig
 from orv_tpu.models.weights import convert_dit_state_dict, load_torch_state_dict
 from orv_tpu.parallel import (
-    MeshConfig, TrainState, make_mesh, make_lr_schedule, make_optimizer,
-    make_pp_train_step, make_train_step, param_shardings,
+    MeshConfig, TrainState, ema_params, make_mesh, make_lr_schedule,
+    make_optimizer, make_pp_train_step, make_train_step, param_shardings,
 )
 from orv_tpu.parallel.mesh import batch_sharding, replicated
 from orv_tpu.schedulers import make_schedule
@@ -447,6 +447,9 @@ def train(cfg: Config, vae=None, vae_params=None):
         prodigy_safeguard_warmup=bool(opt.get("prodigy_safeguard_warmup", False)),
         prodigy_decouple=bool(opt.get("prodigy_decouple", False)),
         prodigy_use_bias_correction=bool(opt.get("prodigy_use_bias_correction", False)),
+        # beyond-reference: EMA of params (standard practice for diffusion
+        # weights); validation denoises with the EMA tree when enabled
+        ema_decay=tcfg.get("ema_decay"),
     )
 
     shardings = param_shardings(params, mesh)
@@ -557,12 +560,20 @@ def train(cfg: Config, vae=None, vae_params=None):
         if (step + 1) % ckpt_every == 0:
             ckpt.save(step + 1, jax.device_get(state))
         if (step + 1) % val_every == 0:
-            run_validation(cfg, model, dit_cfg, state.params, batch, out_dir,
-                           step + 1, tracker, vae=vae, vae_params=vae_params)
+            # with train.ema_decay set, validate the EMA weights — the tree
+            # a user would serve (EMA rides opt_state, so resume keeps it)
+            vp = ema_params(state.opt_state) if tcfg.get("ema_decay") else None
+            run_validation(cfg, model, dit_cfg, vp if vp is not None else state.params,
+                           batch, out_dir, step + 1, tracker,
+                           vae=vae, vae_params=vae_params)
         batch = next(batches)
 
     ckpt.save(total_steps, jax.device_get(state))
     export_pretrained(str(out_dir / "checkpoint"), jax.device_get(state.params), dit_cfg)
+    final_ema = ema_params(state.opt_state) if tcfg.get("ema_decay") else None
+    if final_ema is not None:
+        export_pretrained(str(out_dir / "checkpoint_ema"),
+                          jax.device_get(final_ema), dit_cfg)
     tracker.close()
     CONSOLE.log(f"training done -> {out_dir}")
     return state

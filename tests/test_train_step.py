@@ -466,3 +466,80 @@ def test_prodigy_config_surface():
     with pytest.raises(ValueError, match="prodigy_decouple"):
         make_optimizer(make_lr_schedule(total_steps=10), "prodigy",
                        prodigy_use_bias_correction=True)
+
+
+def test_params_ema_tracks_and_extracts():
+    """EMA transform: ema <- d*ema + (1-d)*(params+updates), updated once
+    per APPLIED step (inside MultiSteps), extractable through the nested
+    optimizer state (chain + multi_transform + MultiSteps)."""
+    from orv_tpu.parallel import ema_params
+    from orv_tpu.parallel.train_step import params_ema
+
+    d = 0.5
+    # plain: two steps of constant updates
+    import optax
+
+    tx = optax.chain(optax.sgd(0.1), params_ema(d))
+    p = {"w": jnp.ones((3,))}
+    s = tx.init(p)
+    g = {"w": jnp.full((3,), 1.0)}
+    u, s = tx.update(g, s, p)
+    p1 = optax.apply_updates(p, u)
+    ema1 = ema_params(s)
+    np.testing.assert_allclose(np.asarray(ema1["w"]),
+                               d * 1.0 + (1 - d) * np.asarray(p1["w"]),
+                               rtol=1e-6)
+    u, s = tx.update(g, s, p1)
+    p2 = optax.apply_updates(p1, u)
+    ema2 = ema_params(s)
+    np.testing.assert_allclose(
+        np.asarray(ema2["w"]),
+        d * np.asarray(ema1["w"]) + (1 - d) * np.asarray(p2["w"]), rtol=1e-6)
+
+    # through the full factory nesting: accum=2 -> EMA moves only on the
+    # applied (2nd) micro-step; extraction walks MultiSteps+multi_transform
+    tx = make_optimizer(make_lr_schedule(total_steps=10, warmup_steps=0),
+                        grad_accum_steps=2, ema_decay=0.9,
+                        trainable_predicate=lambda path: True)
+    p = {"w": jnp.ones((3,))}
+    s = tx.init(p)
+    ema0 = np.asarray(ema_params(s)["w"])
+    u, s = tx.update(g, s, p)
+    np.testing.assert_array_equal(np.asarray(ema_params(s)["w"]), ema0)
+    p = optax.apply_updates(p, u)
+    u, s = tx.update(g, s, p)
+    assert np.abs(np.asarray(ema_params(s)["w"]) - ema0).max() > 0
+    # no-EMA optimizer: extractor returns None
+    tx = make_optimizer(make_lr_schedule(total_steps=10))
+    assert ema_params(tx.init(p)) is None
+
+
+def test_train_step_with_ema_runs_and_lags_params():
+    """Full train step with ema_decay: the EMA tree stays a valid param
+    pytree (validation can denoise with it) and lags the raw params."""
+    from orv_tpu.parallel import ema_params
+
+    model = ControlDiT(CFG, dtype=jnp.float32)
+    sched = make_schedule()
+    b = _batch()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "action_mask": jax.random.PRNGKey(1)},
+        b["latents"][:, :32].transpose(0, 2, 1, 3, 4),
+        b["prompt_embeds"], jnp.zeros((8,), jnp.int32), actions=b["actions"],
+        deterministic=False,
+    )
+    tx = make_optimizer(make_lr_schedule(total_steps=100, warmup_steps=0),
+                        ema_decay=0.9)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       opt_state=tx.init(params))
+    step = make_train_step(model.apply, tx, sched, recon_action=True,
+                           fold_rng=False)
+    rng = jax.random.PRNGKey(42)
+    for _ in range(3):
+        state, m = step(state, b, rng)
+    assert np.isfinite(float(m["loss"]))
+    ema = ema_params(state.opt_state)
+    leaf = lambda t: jax.tree_util.tree_leaves(t)[0]
+    assert leaf(ema).shape == leaf(state.params).shape
+    diff = float(jnp.abs(leaf(ema) - leaf(state.params)).max())
+    assert diff > 0  # EMA lags the moving params
