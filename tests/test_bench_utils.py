@@ -22,24 +22,32 @@ def _load_bench(tmp_path, monkeypatch):
 
 def test_save_cache_keeps_best_of_both(tmp_path, monkeypatch):
     bench = _load_bench(tmp_path, monkeypatch)
-    # another (overlapping) run wrote a BETTER vae number to disk
-    bench.CACHE_PATH.write_text(json.dumps({"vae_decode_s": 1.60, "train_step_s": 0.5}))
-    cache = {"vae_decode_s": 1.70, "sampler_s": 11.7}
+    # another (overlapping) run wrote a BETTER vae number to disk under the
+    # SAME fingerprint (cross-fingerprint merging is covered by
+    # test_bench_cache.py)
+    bench.CACHE_PATH.write_text(json.dumps(
+        {"vae_decode_s": {"t": 1.60, "fp": "v"},
+         "train_step_s": {"t": 0.5, "fp": "t"}}))
+    cache = {"vae_decode_s": {"t": 1.70, "fp": "v"},
+             "sampler_s": {"t": 11.7, "fp": "s"}}
     bench._save_cache(cache)
     on_disk = json.loads(bench.CACHE_PATH.read_text())
-    assert on_disk["vae_decode_s"] == 1.60  # never regress best-so-far
-    assert on_disk["sampler_s"] == 11.7  # new keys land
-    assert on_disk["train_step_s"] == 0.5  # unmeasured keys survive
+    assert on_disk["vae_decode_s"]["t"] == 1.60  # same-fp best-so-far wins
+    assert on_disk["sampler_s"]["t"] == 11.7  # new keys land
+    assert on_disk["train_step_s"]["t"] == 0.5  # unmeasured keys survive
 
 
 def test_emit_stale_and_fresh(tmp_path, monkeypatch, capsys):
     bench = _load_bench(tmp_path, monkeypatch)
-    cache = {"sampler_s": 12.0, "vae_decode_s": 1.8}
+    cache = {"sampler_s": {"t": 12.0, "fp": bench._fingerprint("sampler")},
+             "vae_decode_s": {"t": 1.8, "fp": bench._fingerprint("vae")}}
     bench._emit({"sampler": 11.5}, cache, incomplete=["vae", "train"])
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["value"] > 0
     assert line["detail"]["sampler_s"] == 11.5  # fresh beats cache
     assert line["detail"]["stale"] == ["vae"]
+    # a cache stand-in says nothing about the current window (ADVICE r3 #3)
+    assert line["detail"]["vae_contended_window"] is None
     assert line["detail"]["incomplete"] == ["vae", "train"]
     assert line["baseline_is_estimate"] is True
 
