@@ -36,6 +36,42 @@ from orv_tpu.utils.checkpoint import load_pretrained
 from orv_tpu.utils.logging import CONSOLE
 
 
+def prefetch_eval_batches(dataset, indices, bs: int, num_workers: int = 0):
+    """Yield (idxs, collated_batch) in order. With `num_workers > 0`
+    (reference `evaluation.num_workers`, base_eval.yaml) batches load and
+    collate on a thread pool while the device denoises the current one —
+    bounded look-ahead of num_workers+1 batches so raw-pixel batches never
+    pile up in host RAM. num_workers=0 loads synchronously (identical
+    semantics, zero threads)."""
+    chunks = [list(indices[bi:bi + bs]) for bi in range(0, len(indices), bs)]
+
+    def load(ix):
+        return collate_control([dataset[i] for i in ix])
+
+    if num_workers <= 0:
+        for ix in chunks:
+            yield ix, load(ix)
+        return
+    from collections import deque
+
+    ex = ThreadPoolExecutor(num_workers)
+    try:
+        pending = deque()
+        it = iter(chunks)
+        for ix in it:
+            pending.append((ix, ex.submit(load, ix)))
+            if len(pending) > num_workers:
+                break
+        while pending:
+            ix, fut = pending.popleft()
+            yield ix, fut.result()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append((nxt, ex.submit(load, nxt)))
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
+
+
 def save_video(path: str, video: np.ndarray, fps: int = 8, gif: bool = True):
     """video [T, H, W, 3] uint8 -> mp4 (cv2/imageio) + gif alongside (the
     reference exports both, evaluation_control_to_video.py:409-434)."""
@@ -231,9 +267,8 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
 
     bs = int(ev.get("batch_size", 1))
     results = []
-    for bi in range(0, len(indices), bs):
-        idxs = indices[bi : bi + bs]
-        batch = collate_control([dataset[i] for i in idxs])
+    for idxs, batch in prefetch_eval_batches(
+            dataset, indices, bs, int(ev.get("num_workers", 0))):
         batch = _encode_raw(batch, vae, vae_params, dit_cfg,
                             chunk_frames=int(cfg.dataset.get("encode_chunk_frames", 8)))
         rng, r_img, r_ctrl, r_noise, r_samp = jax.random.split(rng, 5)
@@ -311,7 +346,8 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
                             to_uint8(np.asarray(video[0])), int(ev.get("save_fps", 8)),
                             bool(ev.get("save_gif", True)))
             results.append(name)
-        CONSOLE.log(f"eval batch {bi // bs + 1}: {len(idxs)} episodes done")
+        CONSOLE.log(f"eval batch {len(results) // max(1, bs)}: "
+                    f"{len(idxs)} episodes done")
 
     pool.shutdown(wait=True)
     with open(out_dir / f"manifest_{pid}.json", "w") as f:

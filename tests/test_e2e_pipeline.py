@@ -106,6 +106,8 @@ def test_train_then_eval(pipeline_root, tmp_path):
         "transformer.time_embed_dim=32", "transformer.max_text_seq_length=8",
         f"transformer.pretrained_name_or_path={tmp_path}/run/checkpoint",
         "evaluation.num_inference_steps=2", "evaluation.batch_size=2",
+        # threaded batch prefetch (reference evaluation.num_workers)
+        "evaluation.num_workers=2",
         f"evaluation.output_dir={tmp_path}/eval",
     ]
     cfg = load_config(str(default_config_dir() / "base_eval.yaml"),
@@ -500,3 +502,35 @@ def test_encode_backfills_new_outputs(pipeline_root):
     # and the existing latents were NOT re-encoded
     after = {p.name: p.stat().st_mtime for p in (emb / "latents").glob("*.npz")}
     assert after == before
+
+
+def test_prefetch_eval_batches_matches_sync_order():
+    """evaluation.num_workers > 0 prefetches batches on threads; the yielded
+    (idxs, batch) stream must be identical (content and order) to the
+    synchronous path, with bounded look-ahead."""
+    from orv_tpu.pipelines.evaluate import prefetch_eval_batches
+
+    class FakeDS:
+        def __getitem__(self, i):
+            return {"x": np.full((2, 2), i, np.float32),
+                    "metainfos": {"episode_id": str(i), "start_frame_idx": 0,
+                                  "camera_id": 0}}
+
+    import orv_tpu.pipelines.evaluate as E
+
+    # collate_control expects dataset items; use a transparent collate
+    def fake_collate(items):
+        return {"x": np.stack([it["x"] for it in items])}
+
+    orig = E.collate_control
+    E.collate_control = fake_collate
+    try:
+        ds, idx = FakeDS(), list(range(7))
+        sync = list(prefetch_eval_batches(ds, idx, bs=2, num_workers=0))
+        thr = list(prefetch_eval_batches(ds, idx, bs=2, num_workers=3))
+    finally:
+        E.collate_control = orig
+    assert [i for i, _ in sync] == [i for i, _ in thr] == [
+        [0, 1], [2, 3], [4, 5], [6]]
+    for (_, a), (_, b) in zip(sync, thr):
+        np.testing.assert_array_equal(a["x"], b["x"])
