@@ -405,6 +405,10 @@ def _load_cache() -> dict:
         return {}
     cache = {}
     for k, v in raw.items():
+        # "fresh" marks entries MEASURED BY THIS PROCESS (set when a phase
+        # stores a timing, stripped before writing) — a loaded entry is by
+        # definition not fresh, so it can never clobber a different-
+        # fingerprint entry another process landed on disk meanwhile
         if isinstance(v, dict) and "t" in v:
             cache[k] = {"t": float(v["t"]), "fp": v.get("fp")}
         elif isinstance(v, (int, float)):

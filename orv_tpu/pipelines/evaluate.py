@@ -267,8 +267,8 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
 
     bs = int(ev.get("batch_size", 1))
     results = []
-    for idxs, batch in prefetch_eval_batches(
-            dataset, indices, bs, int(ev.get("num_workers", 0))):
+    for bnum, (idxs, batch) in enumerate(prefetch_eval_batches(
+            dataset, indices, bs, int(ev.get("num_workers", 0)))):
         batch = _encode_raw(batch, vae, vae_params, dit_cfg,
                             chunk_frames=int(cfg.dataset.get("encode_chunk_frames", 8)))
         rng, r_img, r_ctrl, r_noise, r_samp = jax.random.split(rng, 5)
@@ -346,8 +346,7 @@ def evaluate(cfg: Config, max_batches: Optional[int] = None,
                             to_uint8(np.asarray(video[0])), int(ev.get("save_fps", 8)),
                             bool(ev.get("save_gif", True)))
             results.append(name)
-        CONSOLE.log(f"eval batch {len(results) // max(1, bs)}: "
-                    f"{len(idxs)} episodes done")
+        CONSOLE.log(f"eval batch {bnum + 1}: {len(idxs)} episodes done")
 
     pool.shutdown(wait=True)
     with open(out_dir / f"manifest_{pid}.json", "w") as f:

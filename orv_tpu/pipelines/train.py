@@ -326,37 +326,38 @@ def run_validation(cfg: Config, model: ControlDiT, dit_cfg: DiTConfig, params,
     CONSOLE.log(f"validation @ step {step} -> {path}")
 
 
-def total_train_steps(tcfg, dataset_len: int, batch_size: int,
-                      mesh_shape: dict) -> int:
+def total_train_steps(tcfg, dataset_len: int, batch_size: int) -> int:
     """Total optimizer steps. `max_train_steps` wins when set (reference
     semantics, train...sft.py:718-759); with it null/absent,
     `num_train_epochs` x steps-per-epoch, where one epoch is
-    ceil(len(dataset) / (global batch x grad-accum)) and the global batch
-    spans the dp x fsdp mesh extent."""
+    ceil(len(dataset) / (batch x grad-accum)). `train_batch_size` here is
+    ALREADY the global batch — one host draws it and shards it over the
+    (dp, fsdp) mesh axes, unlike the reference where each of N processes
+    draws its own `train_batch_size` (so its epoch math multiplies by
+    num_processes and ours must not)."""
     explicit = tcfg.get("max_train_steps")
     if explicit is not None:
         return int(explicit)
     epochs = tcfg.get("num_train_epochs")
     if epochs is None:
         return 20000
-    replicas = mesh_shape.get("dp", 1) * mesh_shape.get("fsdp", 1)
-    global_batch = max(1, batch_size * replicas
+    global_batch = max(1, batch_size
                        * int(tcfg.get("gradient_accumulation_steps", 1)))
     steps_per_epoch = max(1, -(-dataset_len // global_batch))
     return int(epochs) * steps_per_epoch
 
 
-def scaled_lr(tcfg, batch_size: int, mesh_shape: dict) -> float:
+def scaled_lr(tcfg, batch_size: int) -> float:
     """Base learning rate, scaled when `train.scale_lr` is set (reference
-    base_train.yaml:165 + train...sft.py:483-486): lr x grad-accum x batch
-    x data-parallel worker count. The TPU analog of the reference's
-    `accelerator.num_processes` is the dp x fsdp mesh extent — the
-    batch-sharding axes; sp/tp/pp chips see the same batch."""
+    base_train.yaml:165 + train...sft.py:483-486): lr x grad-accum x
+    global batch. The reference computes lr x accum x per_process_batch x
+    num_processes; our `train_batch_size` is already the GLOBAL batch (one
+    host shards it over the mesh), so no replica factor enters — scaling
+    by the mesh extent on top would over-scale lr by dp x fsdp."""
     lr = float(tcfg.get("learning_rate", 2e-4))
     if not tcfg.get("scale_lr"):
         return lr
-    replicas = mesh_shape.get("dp", 1) * mesh_shape.get("fsdp", 1)
-    return lr * int(tcfg.get("gradient_accumulation_steps", 1)) * batch_size * replicas
+    return lr * int(tcfg.get("gradient_accumulation_steps", 1)) * batch_size
 
 
 def train(cfg: Config, vae=None, vae_params=None):
@@ -420,9 +421,8 @@ def train(cfg: Config, vae=None, vae_params=None):
     CONSOLE.log(f"model params: {n_params/1e9:.3f}B")
 
     opt = tcfg.get("optimizer", {}) or {}
-    total_steps = total_train_steps(tcfg, len(dataset), bs,
-                                    dict(mesh.shape))
-    base_lr = scaled_lr(tcfg, bs, dict(mesh.shape))
+    total_steps = total_train_steps(tcfg, len(dataset), bs)
+    base_lr = scaled_lr(tcfg, bs)
     if tcfg.get("scale_lr"):
         CONSOLE.log(f"scale_lr: learning rate {base_lr:.3g}")
     lr = make_lr_schedule(

@@ -28,13 +28,12 @@ def bench(tmp_path, monkeypatch):
 
 
 def test_fingerprint_changes_with_env(bench, monkeypatch):
-    fp0 = bench._fingerprint("vae")
+    fp_vae = bench._fingerprint("vae")
+    fp_train = bench._fingerprint("train")  # captured BEFORE the setenv
     monkeypatch.setenv("ORV_TPU_UPSAMPLE_PHASE", "0")
-    fp1 = bench._fingerprint("vae")
-    assert fp0 != fp1
+    assert bench._fingerprint("vae") != fp_vae
     # an env knob a phase does not depend on must NOT perturb it
-    monkeypatch.setenv("ORV_TPU_UPSAMPLE_PHASE", "0")
-    assert bench._fingerprint("train") == bench._fingerprint("train")
+    assert bench._fingerprint("train") == fp_train
 
 
 def test_fingerprint_changes_with_source(bench, monkeypatch, tmp_path):

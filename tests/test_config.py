@@ -145,31 +145,32 @@ def test_every_reference_transformer_config_has_a_counterpart():
 
 def test_scale_lr_matches_reference_formula():
     """`train.scale_lr` (reference base_train.yaml:165): lr x grad-accum x
-    batch x data-parallel replica count, where the replica count is the
-    dp x fsdp mesh extent (sp/tp/pp chips see the same batch)."""
+    GLOBAL batch. The reference multiplies per-process batch by
+    num_processes; our train_batch_size is already global (one host shards
+    it over the mesh), so no replica factor may enter — multiplying by the
+    mesh extent would over-scale lr by dp x fsdp."""
     from orv_tpu.pipelines.train import scaled_lr
 
     tcfg = {"learning_rate": 1e-4, "scale_lr": True,
             "gradient_accumulation_steps": 4}
-    assert scaled_lr(tcfg, 2, {"dp": 2, "fsdp": 2, "tp": 4, "sp": 4}) == (
-        pytest.approx(1e-4 * 4 * 2 * 4))
+    assert scaled_lr(tcfg, 8) == pytest.approx(1e-4 * 4 * 8)
     # default (and reference default): off — lr passes through untouched
-    assert scaled_lr({"learning_rate": 1e-4}, 8, {"dp": 8}) == (
-        pytest.approx(1e-4))
+    assert scaled_lr({"learning_rate": 1e-4}, 8) == pytest.approx(1e-4)
 
 
 def test_total_train_steps_epoch_fallback():
     """`max_train_steps` wins when set; with it null, num_train_epochs x
-    ceil(len / (batch x dp*fsdp replicas x grad-accum)) (reference
-    train...sft.py:718-759); neither -> the base default."""
+    ceil(len / (global batch x grad-accum)) (reference
+    train...sft.py:718-759 — its num_processes factor is already inside
+    our global train_batch_size); neither -> the base default."""
     from orv_tpu.pipelines.train import total_train_steps
 
     assert total_train_steps({"max_train_steps": 7, "num_train_epochs": 3},
-                             100, 2, {}) == 7
+                             100, 2) == 7
     t = {"max_train_steps": None, "num_train_epochs": 3,
          "gradient_accumulation_steps": 2}
-    assert total_train_steps(t, 100, 2, {"dp": 2}) == 3 * 13  # ceil(100/8)
-    assert total_train_steps({"max_train_steps": None}, 10, 1, {}) == 20000
+    assert total_train_steps(t, 100, 2) == 3 * 25  # ceil(100/4)
+    assert total_train_steps({"max_train_steps": None}, 10, 1) == 20000
 
 
 def test_overfit_trains_on_val_split(monkeypatch, tmp_path):
