@@ -721,8 +721,12 @@ def main():
                                          _fingerprint(phase)) is not None:
             # measured fresh, or a cached quiet-window number stands in
             # (stale-flagged by _emit); a phase that errored every attempt
-            # with no cache STAYS in `incomplete` so the report shows it
-            incomplete.remove(phase)
+            # with no cache STAYS in `incomplete` so the report shows it.
+            # Optional detail phases (encode, sampler_pab) are never in the
+            # list — discard, don't remove (remove raised ValueError and
+            # killed the 2026-08-19 full bench after its last phase).
+            if phase in incomplete:
+                incomplete.remove(phase)
         if val is not None:
             results[phase] = val
         _emit(results, cache, incomplete)

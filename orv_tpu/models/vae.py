@@ -327,11 +327,17 @@ class Upsample3D(nn.Module):
     first frame upsamples spatially only and the rest also duplicate in
     time (odd-length convention).
 
-    Hot path runs the phase-decomposed conv (_PhaseUpConv) and applies the
-    temporal duplication AFTER it — the conv has no temporal taps, so
-    nearest frame duplication commutes with it exactly, halving the conv
-    work again on compress_time stages. `ORV_TPU_UPSAMPLE_PHASE=0`
-    restores the literal upsample-then-conv lowering."""
+    `ORV_TPU_UPSAMPLE_PHASE=1` opts into the phase-decomposed conv
+    (_PhaseUpConv) with the temporal duplication applied AFTER it — the
+    conv has no temporal taps, so nearest frame duplication commutes with
+    it exactly, halving the conv work again on compress_time stages. It is
+    exact (tests/test_vae.py) but OFF by default: XLA cost analysis says
+    it removes only ~5% of decode FLOPs, and the one on-chip A/B landed so
+    far (chunk 2, contended window, 2026-08-19) had it 2.4x SLOWER — the
+    4-phase stack+transpose interleave is the same VPU-relayout-bound op
+    class as the conv3d shifted-window and int8-PV dead ends. Default
+    stays the literal upsample-then-conv lowering until a quiet-window A/B
+    proves the phase path wins."""
 
     channels: int
     compress_time: bool = False
@@ -343,7 +349,7 @@ class Upsample3D(nn.Module):
         import os
 
         B, T, H, W, C = x.shape
-        phase = os.environ.get("ORV_TPU_UPSAMPLE_PHASE", "1") != "0"
+        phase = os.environ.get("ORV_TPU_UPSAMPLE_PHASE", "0") == "1"
 
         def up(z, t_scale):
             b, t, h, w, c = z.shape

@@ -175,9 +175,10 @@ def test_upsample_phase_decomposition_matches_literal():
         try:
             params = m.init(key(0), x, first_chunk=first_chunk)
             ref = m.apply(params, x, first_chunk=first_chunk)
+            os.environ["ORV_TPU_UPSAMPLE_PHASE"] = "1"
+            got = m.apply(params, x, first_chunk=first_chunk)
         finally:
             os.environ.pop("ORV_TPU_UPSAMPLE_PHASE", None)
-        got = m.apply(params, x, first_chunk=first_chunk)
         assert got.shape == ref.shape, (got.shape, ref.shape)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, rtol=2e-5)
