@@ -210,6 +210,20 @@ class ControlDiT(nn.Module):
         c = self.config
         inner_dim = c.inner_dim
 
+        def act_pin(x):
+            # pin [B, S, D] activations at the embed/head boundaries: batch
+            # over (dp, fsdp), everything else replicated (Megatron
+            # convention — tp shards kernels, not block inputs/outputs).
+            # See act_mesh docstring.
+            if self.act_mesh is None:
+                return x
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axes = tuple(a for a in ("dp", "fsdp")
+                         if a in self.act_mesh.axis_names and self.act_mesh.shape[a] > 1)
+            return jax.lax.with_sharding_constraint(
+                x, NamedSharding(self.act_mesh, PartitionSpec(axes if axes else None)))
+
         def _head(hidden, enc, temb, action_emb, num_frames, height, width):
             # 6. final norm (5b family norms text+video jointly)
             norm_final = LayerNorm(inner_dim, eps=c.norm_eps, param_dtype=self.param_dtype,
@@ -227,10 +241,16 @@ class ControlDiT(nn.Module):
             )(hidden, temb, action_emb)
             p, pt = c.patch_size, c.patch_size_t
             out_features = c.out_channels * p * p * (pt or 1)
-            hidden = nn.Dense(
+            # the pin between proj_out and the unpatchify rearrange keeps
+            # the BACKWARD cotangent batch-sharded across the reshape: the
+            # tp-sharded proj_out kernel otherwise back-propagates a
+            # feature-dim tp sharding into the reshape transpose, which
+            # GSPMD can only satisfy by "Involuntary full rematerialization"
+            # (observed on [B,S,p*p*C_out] under dp x fsdp x tp, 2026-08-19)
+            hidden = act_pin(nn.Dense(
                 out_features, kernel_init=torch_linear_init, dtype=self.dtype,
                 param_dtype=self.param_dtype, name="proj_out",
-            )(hidden)
+            )(hidden))
 
             h_p, w_p = height // p, width // p
             if pt is None:
@@ -277,19 +297,6 @@ class ControlDiT(nn.Module):
             temporal_interpolation_scale=c.temporal_interpolation_scale,
             dtype=self.dtype, param_dtype=self.param_dtype, name="patch_embed",
         )
-        def act_pin(x):
-            # pin [B, S, D] activations at the embed boundary: batch over
-            # (dp, fsdp), everything else replicated (Megatron convention —
-            # tp shards kernels, not block inputs). See act_mesh docstring.
-            if self.act_mesh is None:
-                return x
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            axes = tuple(a for a in ("dp", "fsdp")
-                         if a in self.act_mesh.axis_names and self.act_mesh.shape[a] > 1)
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(self.act_mesh, PartitionSpec(axes if axes else None)))
-
         raw_text = encoder_hidden_states.astype(self.dtype)
         video_cl = rearrange(hidden_states, "b f c h w -> b f h w c").astype(self.dtype)
         embeds = act_pin(patch_embed(raw_text, video_cl))

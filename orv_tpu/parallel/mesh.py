@@ -138,8 +138,17 @@ def _spec_for(path: tuple, shape: tuple, mesh: Mesh) -> P:
             spec[-2] = "tp"
 
     if fsdp_size > 1:
-        # largest free axis divisible by fsdp
-        order = sorted(range(start, len(shape)), key=lambda i: -shape[i])
+        # largest free axis divisible by fsdp — except the output head:
+        # an output-dim-sharded proj_out kernel makes GSPMD demand a
+        # feature-sharded cotangent at the unpatchify reshape in the
+        # backward, which it can only satisfy by "Involuntary full
+        # rematerialization" (fires when out_features > inner_dim, e.g.
+        # tiny test configs; at flagship shapes the size rule already
+        # picks the input dim). Head kernels ZeRO-shard input-dim only.
+        if "proj_out" in names and "kernel" in names and len(shape) >= 2:
+            order = [len(shape) - 2]
+        else:
+            order = sorted(range(start, len(shape)), key=lambda i: -shape[i])
         for i in order:
             if spec[i] is None and shape[i] % fsdp_size == 0 and shape[i] >= fsdp_size:
                 spec[i] = "fsdp"

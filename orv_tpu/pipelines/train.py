@@ -390,10 +390,15 @@ def train(cfg: Config, vae=None, vae_params=None):
                        remat=bool(tcfg.get("gradient_checkpointing", False)),
                        remat_policy=tcfg.get("remat_policy"),
                        sp_mesh=mesh if sp > 1 else None,
-                       # pin embed-boundary activations to the batch
-                       # sharding under tp: stops GSPMD "Involuntary full
-                       # rematerialization" at patch_embed (VERDICT r3 #4)
-                       act_mesh=mesh if mesh.shape.get("tp", 1) > 1 else None)
+                       # pin embed/head-boundary activations to the batch
+                       # sharding under tp AND fsdp: stops GSPMD
+                       # "Involuntary full rematerialization" at
+                       # patch_embed (VERDICT r3 #4) and at the unpatchify
+                       # reshape backward (fsdp-sharded kernels back-prop
+                       # feature shardings into the boundary reshapes)
+                       act_mesh=mesh if (mesh.shape.get("tp", 1) > 1
+                                         or mesh.shape.get("fsdp", 1) > 1)
+                       else None)
 
     # train.overfit (reference train...sft.py:563-596): train on the small
     # 'val' split so the loss should collapse — a data/optimizer smoke test

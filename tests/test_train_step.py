@@ -543,3 +543,29 @@ def test_train_step_with_ema_runs_and_lags_params():
     assert leaf(ema).shape == leaf(state.params).shape
     diff = float(jnp.abs(leaf(ema) - leaf(state.params)).max())
     assert diff > 0  # EMA lags the moving params
+
+
+def test_head_kernel_fsdp_shards_input_dim():
+    """proj_out's kernel must never be ZeRO-sharded on its OUTPUT dim: that
+    makes GSPMD demand a feature-sharded cotangent at the unpatchify reshape
+    in the backward, which it satisfies with "Involuntary full
+    rematerialization" (a replicate-everything cliff). Fires when
+    out_features > inner_dim — exactly the tiny-config regime (observed
+    2026-08-19 on a [B,12,64] head under dp2 x fsdp2 x tp2)."""
+    from orv_tpu.parallel.mesh import _spec_for
+
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2), backend="cpu")
+
+    class K:  # stand-in for a jax.tree path key
+        def __init__(self, key):
+            self.key = key
+
+    # tiny regime: inner 16 -> out_features 64 (both fsdp-divisible)
+    spec = _spec_for((K("proj_out"), K("kernel")), (16, 64), mesh)
+    assert tuple(spec) == ("fsdp", None), spec
+    # flagship regime unchanged: inner 1920 -> 64
+    spec = _spec_for((K("proj_out"), K("kernel")), (1920, 64), mesh)
+    assert tuple(spec) == ("fsdp", None), spec
+    # non-head kernels keep the largest-free-axis rule (tp out, then fsdp)
+    spec = _spec_for((K("to_q"), K("kernel")), (16, 64), mesh)
+    assert tuple(spec) == ("fsdp", "tp"), spec
