@@ -8,26 +8,38 @@ The inference figure is the REAL serving path: `make_sampler`'s jitted
 image-latent concat — pipelines/sample.py) on the int8-serving model
 (W8A8 linears + int8-QK^T flash attention, models/quantize.py), plus the
 conv-cached chunked VAE decode. A train-throughput phase (fwd+bwd+adamw,
-remat) is reported in `detail`.
+remat) is reported in `detail`. Phase definitions live in bench_phases.py
+(the fingerprinted measurement definition); this file is orchestration
+only and may be edited without invalidating cached timings.
 
 Prints JSON lines {"metric", "value", "unit", "vs_baseline", ...} —
 **the last line printed is the result**. The chip is multi-tenant and the
 driver enforces an outer timeout, so this script is deadline-proof:
 
-- a best-so-far JSON line is printed at startup (from `.bench_cache.json`,
-  marked stale) and again after EVERY completed phase, so a kill at any
-  point leaves a parseable result;
+- a best-so-far JSON line is printed at startup (from `.bench_cache.json`)
+  and again after EVERY completed phase, so a kill at any point leaves a
+  parseable result;
 - one global wall-clock budget (ORV_TPU_BENCH_BUDGET_S, default 840s)
   bounds everything; phases that didn't run are listed in `"incomplete"`;
 - RESOURCE_EXHAUSTED descends the VAE chunk ladder (6->4->2->tiled)
   immediately in a fresh subprocess — no sleeps;
-- quiet-window timings persist in `.bench_cache.json`; when the current
-  window never goes quiet the cached value is reported with a per-phase
-  `"stale"` flag instead of a garbage contended number;
-- every cache entry is fingerprinted on the source files + ORV_TPU_* knobs
-  that produce it: editing e.g. models/vae.py invalidates the cached decode
-  number, so a regression is measured and reported, never masked by a
-  historical best from code that no longer runs.
+- quiet-window timings persist in `.bench_cache.json`, fingerprinted on
+  the sources that define each phase (bench_phases.PHASE_DEPS).
+
+Emit policy (round-5 VERDICT #1):
+
+- `value` is composed ONLY of sane timings measured under the CURRENT
+  code fingerprint — this run (detail.measured_this_run[phase]=true) or a
+  cached quiet-window run of byte-identical code (listed in detail.stale).
+  A contended-window timing (> SANE ceiling) NEVER enters `value`, and
+  neither does a cache entry from since-edited code.
+- when `value` cannot be composed, it is null BUT the line still carries
+  `stale_estimate` — a best-effort f/s built from old-code cache entries
+  and/or contended-window measurements, with per-phase provenance in
+  detail.stale_estimate_basis — so a cold-cache driver run is never
+  information-free.
+- detail.measured_this_run records, for every phase, whether a timing was
+  measured by THIS process (fresh), as opposed to any cache.
 
 vs_baseline: the reference publishes no numbers (BASELINE.md), so the
 denominator is an engineering estimate of the reference stack on one
@@ -47,7 +59,6 @@ import sys
 import time
 
 import jax
-import jax.numpy as jnp
 
 # Persistent compilation cache: compiles through the remote tunnel cost
 # 40-300s each; the cache survives across processes so the driver's runs
@@ -55,50 +66,27 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", str(pathlib.Path(__file__).parent / ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
+_here = str(pathlib.Path(__file__).parent)
+if _here not in sys.path:  # spec-loaded under tests: make bench_phases importable
+    sys.path.insert(0, _here)
 
-A100_BASELINE_FPS = 1.55
-
-NUM_FRAMES = 49
-HEIGHT, WIDTH = 320, 480
-LATENT_F, LATENT_H, LATENT_W = 13, 40, 60
-STEPS = 50
+from bench_phases import (  # noqa: E402
+    A100_BASELINE_FPS, NUM_FRAMES, PHASE_DEFAULT_ARGS, PHASE_DEPS, PHASE_FNS,
+    PHASE_KEY, SANE, STEPS, TRAIN_N_PARAMS, TRAIN_TOKENS_PER_SAMPLE,
+    V5E_BF16_PEAK,
+)
 
 START = time.time()
 GLOBAL_BUDGET_S = float(os.environ.get("ORV_TPU_BENCH_BUDGET_S", "840"))
 CACHE_PATH = pathlib.Path(__file__).parent / ".bench_cache.json"
-
-# quiet-window sanity ceilings (~2x known-good): timings above these mean
-# the window was contended and the value is not representative
-SANE = {"sampler": 25.0, "sampler_pab": 25.0, "vae": 4.0, "train": 1.0, "encode": 8.0}
-
-_PHASE_KEY = {"sampler": "sampler_s", "sampler_pab": "sampler_pab_s",
-              "vae": "vae_decode_s", "train": "train_step_s",
-              "encode": "vae_encode_s"}
-
-# Cache fingerprinting: each cached timing is keyed on a hash of the source
-# files + env knobs that produce it, so a code change invalidates the cached
-# number instead of being masked by a historical best (min() across
-# different code versions is not a metric). bench.py itself is included in
-# every phase: the phase function IS the measurement definition.
 _REPO = pathlib.Path(__file__).parent
-_COMMON_SRC = ["bench.py", "orv_tpu/models/dit.py", "orv_tpu/models/layers.py",
-               "orv_tpu/ops/attention.py", "orv_tpu/ops/adaln.py"]
-_SAMPLER_SRC = _COMMON_SRC + ["orv_tpu/models/quantize.py",
-                              "orv_tpu/pipelines/sample.py",
-                              "orv_tpu/schedulers/scheduling.py"]
-_PHASE_DEPS = {
-    "sampler": (_SAMPLER_SRC, ["ORV_TPU_FUSED_ADALN"]),
-    "sampler_pab": (_SAMPLER_SRC, ["ORV_TPU_FUSED_ADALN"]),
-    "vae": (["bench.py", "orv_tpu/models/vae.py"],
-            ["ORV_TPU_UPSAMPLE_PHASE", "ORV_TPU_CONV3D_TAPS"]),
-    "encode": (["bench.py", "orv_tpu/models/vae.py"], ["ORV_TPU_CONV3D_TAPS"]),
-    "train": (_COMMON_SRC + ["orv_tpu/parallel/train_step.py"],
-              ["ORV_TPU_FUSED_ADALN"]),
-}
+
+_METRIC = ("frames/sec/chip (49x320x480 occupancy-conditioned, 2B DiT, "
+           "50-step sampler)")
 
 
 def _fingerprint(phase: str) -> str:
-    files, envs = _PHASE_DEPS[phase]
+    files, envs = PHASE_DEPS[phase]
     h = hashlib.sha256()
     for f in sorted(files):
         try:
@@ -115,253 +103,82 @@ def _remaining() -> float:
     return GLOBAL_BUDGET_S - (time.time() - START)
 
 
-def _trial_budget() -> float:
-    """Per-phase in-subprocess trial budget (seconds), from env."""
-    return float(os.environ.get("ORV_TPU_BENCH_TRIAL_BUDGET_S", "60"))
+def _load_cache() -> dict:
+    """Load the cache: {key: {"t": seconds, "fp": fingerprint, "args": [...]}}.
+
+    Legacy entries (bare floats, no fingerprint) are migrated with
+    fp=None, which never matches a current fingerprint — they surface only
+    through the stale_estimate fallback and are replaced on first fresh
+    measurement. Loaded entries are by definition NOT "fresh" (see
+    _save_cache): only a timing measured by this process may clobber a
+    different-fingerprint entry another process landed on disk meanwhile."""
+    try:
+        raw = json.loads(CACHE_PATH.read_text())
+    except Exception:  # noqa: BLE001 — missing/corrupt cache is a cold start
+        return {}
+    cache = {}
+    for k, v in raw.items():
+        if isinstance(v, dict) and "t" in v:
+            ent = {"t": float(v["t"]), "fp": v.get("fp")}
+            if v.get("args"):
+                ent["args"] = list(v["args"])
+            cache[k] = ent
+        elif isinstance(v, (int, float)):
+            cache[k] = {"t": float(v), "fp": None}
+    return cache
 
 
-def _flagship_model(quant: bool):
-    from orv_tpu.models import ControlDiT, DiTConfig
-
-    cfg = DiTConfig(
-        num_attention_heads=30, attention_head_dim=64, num_layers=30,
-        in_channels=32, out_channels=16, text_embed_dim=4096, time_embed_dim=512,
-        modulate_encoder_hidden_states=True, visual_guidance=True,
-    )
-    return ControlDiT(
-        cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-        attn_impl="flash_q8" if quant else "flash", quant=quant,
-    )
+def _cache_entry(cache: dict, key: str, fp: str):
+    """Cache entry for `key` under the CURRENT fingerprint, or None if
+    absent or measured under different code/env (a stale-code number is
+    worse than no number in `value`: it can mask a regression)."""
+    ent = cache.get(key)
+    if ent is None or ent.get("fp") != fp:
+        return None
+    return ent
 
 
-def _bench_sampler():
-    """Full 50-step denoise via the real jitted sampler scan."""
-    from orv_tpu.pipelines.sample import SamplerConfig, make_sampler
-    from orv_tpu.schedulers import make_schedule
-
-    model = _flagship_model(quant=True)
-    B = 1  # guidance_scale 1.0 in the reference eval configs -> no CFG batch
-    key = jax.random.PRNGKey
-    lat = jax.random.normal(key(0), (B, LATENT_F, 16, LATENT_H, LATENT_W), jnp.float32)
-    img = jax.random.normal(key(1), lat.shape, jnp.bfloat16)  # pre-padded image latents
-    enc = jax.random.normal(key(2), (B, 226, 4096), jnp.bfloat16)
-    acts = jax.random.normal(key(3), (B, 48, 7), jnp.bfloat16)
-    dep = jax.random.normal(key(4), (B, LATENT_F, 32, LATENT_H, LATENT_W), jnp.bfloat16)
-    lab = jax.random.normal(key(5), dep.shape, jnp.bfloat16)
-
-    print("bench: init quantized DiT...", file=sys.stderr, flush=True)
-    t0 = jnp.full((B,), 999, jnp.int32)
-    params = jax.jit(lambda: model.init(
-        key(0), jnp.concatenate([lat, lat], 2).astype(jnp.bfloat16), enc, t0,
-        actions=acts, depths=dep, labels=lab,
-    ))()
-    jax.block_until_ready(params)
-
-    sampler = make_sampler(model.apply, make_schedule(),
-                           SamplerConfig(num_inference_steps=STEPS))
-    run = jax.jit(lambda p, l, r: sampler(p, l, img, enc, r, actions=acts,
-                                          depths=dep, labels=lab))
-    print("bench: compiling sampler scan...", file=sys.stderr, flush=True)
-    jax.block_until_ready(run(params, lat, key(10)))
-    best = float("inf")
-    deadline = time.time() + _trial_budget()
-    for i in range(3):
-        ll = lat * (1.0 + (i + 1) * 1e-6)  # vary inputs: the tunnel dedups
-        t_start = time.time()
-        out = run(params, ll, key(11 + i))
-        float(out.sum())  # force full materialization (block_until_ready can return early)
-        best = min(best, time.time() - t_start)
-        if time.time() > deadline:
-            break
-    return best
+def _cache_get(cache: dict, key: str, fp: str):
+    ent = _cache_entry(cache, key, fp)
+    return None if ent is None else float(ent["t"])
 
 
-def _bench_sampler_pab():
-    """Detail-only: the 50-step sampler with PAB attention broadcast
-    (pab_skip=2, window [0.1, 0.85) — 24 of 50 steps reuse cached
-    attention). An APPROXIMATE serving mode (sample.py SamplerConfig);
-    the headline number stays the exact sampler."""
-    from orv_tpu.pipelines.sample import SamplerConfig, make_sampler
-    from orv_tpu.schedulers import make_schedule
-
-    model = _flagship_model(quant=True)
-    B = 1
-    key = jax.random.PRNGKey
-    lat = jax.random.normal(key(0), (B, LATENT_F, 16, LATENT_H, LATENT_W), jnp.float32)
-    img = jax.random.normal(key(1), lat.shape, jnp.bfloat16)
-    enc = jax.random.normal(key(2), (B, 226, 4096), jnp.bfloat16)
-    acts = jax.random.normal(key(3), (B, 48, 7), jnp.bfloat16)
-    dep = jax.random.normal(key(4), (B, LATENT_F, 32, LATENT_H, LATENT_W), jnp.bfloat16)
-    lab = jax.random.normal(key(5), dep.shape, jnp.bfloat16)
-
-    print("bench: init quantized DiT (pab)...", file=sys.stderr, flush=True)
-    t0 = jnp.full((B,), 999, jnp.int32)
-    params = jax.jit(lambda: model.init(
-        key(0), jnp.concatenate([lat, lat], 2).astype(jnp.bfloat16), enc, t0,
-        actions=acts, depths=dep, labels=lab,
-    ))()
-    jax.block_until_ready(params)
-
-    sampler = make_sampler(model.apply, make_schedule(),
-                           SamplerConfig(num_inference_steps=STEPS, pab_skip=2))
-    run = jax.jit(lambda p, l, r: sampler(p, l, img, enc, r, actions=acts,
-                                          depths=dep, labels=lab))
-    print("bench: compiling pab sampler scan (two model variants)...",
-          file=sys.stderr, flush=True)
-    jax.block_until_ready(run(params, lat, key(10)))
-    best = float("inf")
-    deadline = time.time() + _trial_budget()
-    for i in range(3):
-        ll = lat * (1.0 + (i + 1) * 1e-6)
-        t_start = time.time()
-        out = run(params, ll, key(11 + i))
-        float(out.sum())
-        best = min(best, time.time() - t_start)
-        if time.time() > deadline:
-            break
-    return best
+def _store(cache: dict, key: str, fp: str, t: float, args=None) -> None:
+    """Record a timing measured BY THIS PROCESS ("fresh" — grants the
+    right to clobber a different-fingerprint on-disk entry in _save_cache)."""
+    ent = {"t": round(float(t), 4), "fp": fp, "fresh": True}
+    if args:
+        ent["args"] = [str(a) for a in args]
+    cache[key] = ent
 
 
-def _bench_vae():
-    # VAE decode cost (conv-cached temporal chunks — full-res 49x320x480
-    # activations exceed HBM in one shot; chunked decode beats spatial
-    # tiling 2x on v5e because convs keep the full spatial extent)
-    from orv_tpu.models.vae import CausalVAE, VAEConfig, decode_chunked
-
-    vae = CausalVAE(VAEConfig(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-    z = jax.random.normal(jax.random.PRNGKey(5), (1, 16, LATENT_F, LATENT_H, LATENT_W))
-    vparams = jax.jit(lambda: vae.init(jax.random.PRNGKey(0), z[:, :, :1, :8, :8],
-                                       method=vae.decode))()
-    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 6
-    if chunk == 0:
-        # last-resort rung: spatially tiled decode (~2GB peak — ~4x less
-        # than chunk 4) for windows where the co-tenant's HBM hold makes
-        # every frame-chunked variant crawl. ~2x slower on a quiet chip.
-        from orv_tpu.models.vae import tiled_decode
-
-        print("bench: compiling tiled VAE decode...", file=sys.stderr, flush=True)
-        decode_fn = jax.jit(lambda zt: vae.apply(vparams, zt, method=vae.decode))
-        run = lambda x: tiled_decode(decode_fn, x, tile_latent_h=24, tile_latent_w=32)
-    else:
-        print(f"bench: compiling chunked VAE decode (chunk {chunk})...",
-              file=sys.stderr, flush=True)
-        # NOT fused: the single-dispatch variant compiles at 15.9G of 15.75G
-        # HBM and the runtime thrashes (340s observed) — see vae.decode_chunked
-        run = lambda x: decode_chunked(vae, vparams, x, chunk_latent_frames=chunk)
-    jax.block_until_ready(run(z))
-    # time-budgeted min-of-N: co-tenant kernels time-slice against the big
-    # convs, so individual trials swing 1.7s..25s — keep trialing until a
-    # quiet window lands or the budget runs out
-    vae_time = float("inf")
-    deadline = time.time() + _trial_budget()
-    i = 0
-    while True:
-        i += 1
-        zz = z * (1.0 + i * 1e-6)  # vary inputs: the tunnel dedups
-        t0 = time.time()
-        out = run(zz)
-        float(out.sum())  # force materialization
-        vae_time = min(vae_time, time.time() - t0)
-        if (i >= 3 and vae_time < 4.0) or time.time() > deadline:
-            return vae_time
-
-
-def _bench_encode():
-    """Optional phase (ORV_TPU_BENCH_ENCODE=1): streaming chunked VAE encode
-    of a 49x320x480 clip — the offline-latent / raw-pixel-eval ingest cost
-    (reference frame-batched vae._encode, encode_dataset.py:793-927). Not in
-    the headline f/s (generation = sampler + decode); reported in detail."""
-    from orv_tpu.models.vae import CausalVAE, VAEConfig, encode_chunked
-
-    vae = CausalVAE(VAEConfig(), dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
-    video = jax.random.normal(jax.random.PRNGKey(7),
-                              (1, 3, NUM_FRAMES, HEIGHT, WIDTH), jnp.bfloat16)
-    vparams = jax.jit(lambda: vae.init(jax.random.PRNGKey(0), video[:, :, :1, :8, :8],
-                                       method=vae.encode))()
-    chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    print(f"bench: compiling chunked VAE encode (chunk {chunk})...",
-          file=sys.stderr, flush=True)
-    run = lambda x: encode_chunked(vae, vparams, x, chunk_frames=chunk)
-    jax.block_until_ready(run(video))
-    best = float("inf")
-    deadline = time.time() + _trial_budget()
-    i = 0
-    while True:
-        i += 1
-        vv = video * (1.0 + i * 1e-6)  # vary inputs: the tunnel dedups
-        t0 = time.time()
-        out = run(vv)
-        float(out.sum())  # force materialization
-        best = min(best, time.time() - t0)
-        if (i >= 3 and best < SANE["encode"]) or time.time() > deadline:
-            break
-    return best
-
-
-def _bench_train():
-    """Training throughput: fwd+bwd+adamw step seconds for the largest
-    recipe that fits one v5e chip's 16GB HBM. The flagship 2B with full
-    Adam state does not fit a single chip in ANY framework (the reference
-    shards it over 8xA100 with DeepSpeed), so this phase runs the
-    reference's 1.4B-from-scratch recipe (traj_image_1.4b_scratch.yaml:
-    28 layers x 1792, rope, 17-frame 480x320 clips) with bf16 params and
-    bf16 Adam moments, per-block remat, batch 1."""
-    from orv_tpu.models import ControlDiT, DiTConfig
-    from orv_tpu.parallel import TrainState, make_lr_schedule, make_optimizer, make_train_step
-    from orv_tpu.schedulers import make_schedule
-    from orv_tpu.utils.embeddings import prepare_rotary_positional_embeddings
-
-    cfg = DiTConfig(
-        num_attention_heads=28, attention_head_dim=64, num_layers=28,
-        in_channels=32, out_channels=16, text_embed_dim=4096, time_embed_dim=512,
-        sample_width=60, sample_height=40, sample_frames=17,
-        use_rotary_positional_embeddings=True,
-        modulate_encoder_hidden_states=False, recon_action=True,
-    )
-    model = ControlDiT(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16, remat=True,
-                       remat_policy="dots")  # saves matmul outputs: 461->442ms, fits HBM
-    B, F, C, H, W = 1, 5, 16, 40, 60  # 17 frames @ 320x480 latent
-    key = jax.random.PRNGKey
-    batch = {
-        "latents": jax.random.normal(key(0), (B, 2 * C, F, H, W)) * 0.5,
-        "image_latents": jax.random.normal(key(1), (B, 2 * C, 1, H, W)) * 0.5,
-        "prompt_embeds": jax.random.normal(key(2), (B, 226, 4096), jnp.bfloat16),
-        "actions": jax.random.normal(key(3), (B, F * 4 - 4, 7)) * 0.1,
-    }
-    rope = prepare_rotary_positional_embeddings(
-        height=HEIGHT, width=WIDTH, num_frames=F,
-        attention_head_dim=cfg.attention_head_dim,
-        base_height=320, base_width=480,
-    )
-    print("bench: init 1.4B train model...", file=sys.stderr, flush=True)
-    params = jax.jit(lambda: model.init(
-        {"params": key(0), "action_mask": key(1)},
-        batch["latents"][:, :C].transpose(0, 2, 1, 3, 4).astype(jnp.bfloat16).repeat(2, 2),
-        batch["prompt_embeds"], jnp.zeros((B,), jnp.int32),
-        actions=batch["actions"], image_rotary_emb=rope, deterministic=False,
-    ))()
-    jax.block_until_ready(params)
-
-    tx = make_optimizer(make_lr_schedule(warmup_steps=0, total_steps=1000))
-    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       opt_state=tx.init(params))
-    step = make_train_step(model.apply, tx, make_schedule(), recon_action=True,
-                           image_rotary_emb=rope)
-    print("bench: compiling train step...", file=sys.stderr, flush=True)
-    state, m = step(state, batch, key(42))
-    jax.block_until_ready(state.params)
-    best = float("inf")
-    deadline = time.time() + _trial_budget()
-    for i in range(3):
-        b2 = dict(batch)
-        b2["latents"] = batch["latents"] * (1.0 + (i + 1) * 1e-6)
-        t0 = time.time()
-        state, m = step(state, b2, key(43 + i))
-        float(m["loss"])
-        best = min(best, time.time() - t0)
-        if time.time() > deadline:
-            break
-    return best
+def _save_cache(cache: dict) -> None:
+    try:
+        on_disk = _load_cache()
+        merged = {}
+        for k in set(cache) | set(on_disk):
+            mem, disk = cache.get(k), on_disk.get(k)
+            if mem is None or disk is None:
+                merged[k] = mem or disk
+            elif mem.get("fp") == disk.get("fp"):
+                if k.endswith("_rung"):
+                    # *_rung entries record the last ladder rung that worked —
+                    # last observation wins, min() would pin the optimistic rung
+                    merged[k] = mem
+                else:
+                    merged[k] = mem if mem["t"] <= disk["t"] else disk
+            else:
+                # cross-fingerprint conflict: only an entry MEASURED BY THIS
+                # PROCESS may override — an entry merely loaded at startup
+                # must not clobber a fresher timing a concurrent run landed
+                # on disk meanwhile (round-4 ADVICE: the warm-the-cache
+                # queue thrashed against long-running full benches)
+                merged[k] = mem if mem.get("fresh") else disk
+        out = {k: {kk: vv for kk, vv in v.items() if kk != "fresh"}
+               for k, v in merged.items() if v is not None}
+        CACHE_PATH.write_text(json.dumps(out, indent=1) + "\n")
+    except OSError:
+        pass  # read-only checkout: cache is an optimization, not a requirement
 
 
 class _PhaseOOM(RuntimeError):
@@ -390,60 +207,6 @@ def _run_phase_subprocess(phase: str, extra=(), timeout=None) -> float:
             raise _PhaseOOM(f"phase {phase} OOM (co-tenant HBM hold?)")
         raise RuntimeError(f"phase {phase} failed (rc={out.returncode})")
     return float(out.stdout.strip().splitlines()[-1])
-
-
-def _load_cache() -> dict:
-    """Load the v2 cache: {key: {"t": seconds, "fp": fingerprint}}.
-
-    Legacy v1 entries (bare floats, no fingerprint) are migrated with
-    fp=None, which never matches a current fingerprint — they surface as
-    "cache entry for unknown code" and are replaced on first fresh
-    measurement rather than min()-merged."""
-    try:
-        raw = json.loads(CACHE_PATH.read_text())
-    except Exception:  # noqa: BLE001 — missing/corrupt cache is a cold start
-        return {}
-    cache = {}
-    for k, v in raw.items():
-        # "fresh" marks entries MEASURED BY THIS PROCESS (set when a phase
-        # stores a timing, stripped before writing) — a loaded entry is by
-        # definition not fresh, so it can never clobber a different-
-        # fingerprint entry another process landed on disk meanwhile
-        if isinstance(v, dict) and "t" in v:
-            cache[k] = {"t": float(v["t"]), "fp": v.get("fp")}
-        elif isinstance(v, (int, float)):
-            cache[k] = {"t": float(v), "fp": None}
-    return cache
-
-
-def _cache_get(cache: dict, key: str, fp: str):
-    """Cached timing for `key`, or None if absent or measured under a
-    different code/env fingerprint (a stale-code number is worse than no
-    number: it can mask a regression)."""
-    ent = cache.get(key)
-    if ent is None or ent.get("fp") != fp:
-        return None
-    return float(ent["t"])
-
-
-def _save_cache(cache: dict) -> None:
-    try:
-        # merge with on-disk contents: another process may have written keys
-        # this run never measured. min()-merge ONLY within the same
-        # fingerprint — across code versions the in-memory (current-code)
-        # entry wins outright, so a regression is reported, not hidden.
-        on_disk = _load_cache()
-        for k, v in on_disk.items():
-            if k in cache:
-                # *_rung entries record the last ladder rung that worked —
-                # last observation wins, min() would pin the optimistic rung
-                if cache[k].get("fp") == v.get("fp") and not k.endswith("_rung"):
-                    cache[k] = {"t": min(cache[k]["t"], v["t"]), "fp": v.get("fp")}
-            else:
-                cache[k] = v
-        CACHE_PATH.write_text(json.dumps(cache, indent=1) + "\n")
-    except OSError:
-        pass  # read-only checkout: cache is an optimization, not a requirement
 
 
 _DEVICE_STR = None
@@ -475,86 +238,156 @@ def _device_str() -> str:
         return f"<unavailable: {type(e).__name__}>"  # NOT cached
 
 
-_EMITTED = 0
+def _compose(results: dict, contended: dict, cache: dict,
+             incomplete: list) -> dict:
+    """Build the JSON result object from fresh measurements + cache.
 
+    Pure given its inputs (device probe aside) — unit-tested in
+    tests/test_bench_emit.py. `results` holds sane timings measured this
+    run; `contended` holds this run's measurements that exceeded the SANE
+    ceiling (reported, never part of `value`)."""
 
-def _emit(results: dict, cache: dict, incomplete: list) -> None:
-    """Print one best-so-far JSON result line from measured + cached phase
-    timings. Called after every phase (and once at startup) so that an
-    outer kill at ANY point leaves a parseable last line."""
-    global _EMITTED
-    def get(phase: str):
+    def cur(phase):
+        """Current-fingerprint value: (seconds, measured_this_run, entry)."""
         if phase in results:
-            return results[phase], False
-        # cached values count only under the CURRENT code fingerprint —
-        # an entry measured on since-edited code is no value at all
-        val = _cache_get(cache, _PHASE_KEY[phase], _fingerprint(phase))
-        if val is not None:
-            return val, True
-        return None, False
+            return results[phase], True, None
+        ent = _cache_entry(cache, PHASE_KEY[phase], _fingerprint(phase))
+        if ent is not None:
+            return float(ent["t"]), False, ent
+        return None, None, None
 
-    sampler_s, sampler_stale = get("sampler")
-    vae_s, vae_stale = get("vae")
-    train_s, train_stale = get("train")
-    if sampler_s is None or vae_s is None:
-        return  # nothing meaningful to report yet (cold cache, first phase)
+    def fallback(phase):
+        """Best-effort estimate when no current-fp value exists:
+        an old-code quiet-window cache entry approximates current code
+        better than a contended-window measurement of it."""
+        ent = cache.get(PHASE_KEY[phase])
+        if ent is not None:
+            return float(ent["t"]), "cache_old_code"
+        if phase in contended:
+            return contended[phase], "contended_window"
+        return None, None
 
-    total = sampler_s + vae_s
-    fps = NUM_FRAMES / total
-    stale = [p for p, s in [("sampler", sampler_stale), ("vae", vae_stale)] if s]
+    sampler_s, sampler_fresh, _ = cur("sampler")
+    vae_s, vae_fresh, vae_ent = cur("vae")
     detail = {
-        "sampler_s": round(sampler_s, 3),
-        "per_step_s": round(sampler_s / STEPS, 4),
-        "vae_decode_s": round(vae_s, 3),
-        # the chip is multi-tenant: when every retry window was slow the
-        # decode figure reflects co-tenant load, not this code (quiet-window
-        # decode is ~1.7s; the sampler/train phases are contention-stable).
-        # None = decode came from the cache this run, so the flag is not a
-        # statement about the current window at all.
-        "vae_contended_window": None if vae_stale else bool(vae_s > SANE["vae"]),
-        "total_s": round(total, 2),
-        "serving_config": "int8 W8A8 linears + int8-QK^T flash attention (bf16: models default)",
+        "serving_config": ("int8 W8A8 linears + int8-QK^T flash attention "
+                           "(bf16: models default)"),
         "device": _device_str(),
         "elapsed_s": round(time.time() - START, 1),
+        "measured_this_run": {p: (p in results or p in contended)
+                              for p in PHASE_KEY},
     }
+    stale = []
+    value = None
+    if sampler_s is not None and vae_s is not None:
+        total = sampler_s + vae_s
+        value = NUM_FRAMES / total
+        detail.update({
+            "sampler_s": round(sampler_s, 3),
+            "per_step_s": round(sampler_s / STEPS, 4),
+            "vae_decode_s": round(vae_s, 3),
+            "total_s": round(total, 2),
+        })
+        if vae_ent is not None and vae_ent.get("args"):
+            detail["vae_decode_chunk"] = int(vae_ent["args"][0])
+        stale = [p for p, fresh in [("sampler", sampler_fresh),
+                                    ("vae", vae_fresh)] if not fresh]
+    else:
+        # value cannot be composed from current-fingerprint sane timings:
+        # emit a loudly-flagged estimate instead of an information-free null
+        basis = {}
+        est = {}
+        for phase, v, fr in [("sampler", sampler_s, sampler_fresh),
+                             ("vae", vae_s, vae_fresh)]:
+            if v is not None:
+                est[phase] = v
+                basis[phase] = "measured" if fr else "cache"
+            else:
+                fv, fb = fallback(phase)
+                if fv is not None:
+                    est[phase] = fv
+                    basis[phase] = fb
+        if len(est) == 2:
+            detail["stale_estimate_basis"] = basis
+            detail["sampler_s_estimate"] = round(est["sampler"], 3)
+            detail["vae_decode_s_estimate"] = round(est["vae"], 3)
+        else:
+            detail["error"] = ("no timing or estimate available for: "
+                               + ", ".join(p for p in ("sampler", "vae")
+                                           if p not in est))
+        partial = {p: round(v, 4) for p, v in {**contended, **results}.items()}
+        if partial:
+            detail["partial"] = partial
+
+    # contended-window measurements are reported but NEVER enter value
+    if "vae" in contended:
+        detail["vae_decode_s_contended"] = round(contended["vae"], 3)
+        detail["vae_contended_window"] = True
+    elif value is not None and "vae" in results:
+        detail["vae_contended_window"] = False
+
+    for phase, key_out in [("encode", "vae_encode_s"),
+                           ("sampler_pab", "sampler_pab_s")]:
+        v, fresh, _ = cur(phase)
+        if v is not None:
+            detail[key_out] = round(v, 3)
+            if not fresh:
+                stale.append(phase)
+    if "sampler_pab_s" in detail and value is not None:
+        # APPROXIMATE serving mode (PAB attention broadcast, opt-in) —
+        # informational only, never the headline value above
+        vae_for_pab = detail.get("vae_decode_s")
+        detail["pab_frames_per_s"] = round(
+            NUM_FRAMES / (detail["sampler_pab_s"] + vae_for_pab), 4)
+
+    def train_detail(phase, suffix):
+        v, fresh, _ = cur(phase)
+        if v is None:
+            return
+        b = int(PHASE_DEFAULT_ARGS[phase][0])
+        tok = TRAIN_TOKENS_PER_SAMPLE * b
+        detail[f"train_step_s_1p4b_17f{suffix}"] = round(v, 3)
+        detail[f"train_tokens_per_s{suffix}"] = round(tok / v)
+        # PaLM-style MFU: 6 * N_params * tokens/s over the chip's bf16 peak
+        detail[f"train_mfu_pct{suffix}"] = round(
+            100.0 * 6.0 * TRAIN_N_PARAMS * tok / v / V5E_BF16_PEAK, 1)
+        if not fresh:
+            stale.append(phase)
+
+    train_detail("train", "")
+    train_detail("train_b2", "_b2")
+    train_detail("train_b4", "_b4")
+
     if stale:
-        # cached quiet-window timings (.bench_cache.json) substituted for
-        # phases whose current window was contended or never ran
+        # cached quiet-window timings (.bench_cache.json, byte-identical
+        # code) substituted for phases not measured this run
         detail["stale"] = stale
     if incomplete:
         detail["incomplete"] = list(incomplete)
-    encode_s, encode_stale = get("encode")
-    if encode_s is not None:
-        detail["vae_encode_s"] = round(encode_s, 3)
-        if encode_stale:
-            detail.setdefault("stale", []).append("encode")
-    pab_s, pab_stale = get("sampler_pab")
-    if pab_s is not None:
-        # APPROXIMATE serving mode (PAB attention broadcast, opt-in) —
-        # informational only, never the headline value above
-        detail["sampler_pab_s"] = round(pab_s, 3)
-        detail["pab_frames_per_s"] = round(NUM_FRAMES / (pab_s + vae_s), 4)
-        if pab_stale:
-            detail.setdefault("stale", []).append("sampler_pab")
-    if train_s is not None:
-        detail["train_step_s_1p4b_17f"] = round(train_s, 3)
-        # 17-frame 480x320 clip -> 5*20*30 = 3000 video tokens + 226 text
-        detail["train_tokens_per_s"] = round(3226 / train_s)
-        if train_stale:
-            detail.setdefault("stale", []).append("train")
-    _EMITTED += 1
-    print(json.dumps({
-        "metric": "frames/sec/chip (49x320x480 occupancy-conditioned, 2B DiT, 50-step sampler)",
-        "value": round(fps, 4),
+
+    out = {
+        "metric": _METRIC,
+        "value": None if value is None else round(value, 4),
         "unit": "frames/s",
-        "vs_baseline": round(fps / A100_BASELINE_FPS, 4),
+        "vs_baseline": None if value is None else round(value / A100_BASELINE_FPS, 4),
         "baseline_is_estimate": True,
-        "detail": detail,
-    }), flush=True)
+    }
+    if value is None and "sampler_s_estimate" in detail:
+        est_total = detail["sampler_s_estimate"] + detail["vae_decode_s_estimate"]
+        out["stale_estimate"] = round(NUM_FRAMES / est_total, 4)
+    out["detail"] = detail
+    return out
+
+
+def _emit(results: dict, contended: dict, cache: dict, incomplete: list) -> None:
+    """Print one best-so-far JSON result line. Called after every phase (and
+    once at startup) so that an outer kill at ANY point leaves a parseable
+    last line."""
+    print(json.dumps(_compose(results, contended, cache, incomplete)), flush=True)
 
 
 def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
-                        first_timeout=480.0) -> float | None:
+                        first_timeout=480.0):
     """Run `phase` in fresh subprocesses until a quiet-window (sane) timing
     lands, the attempts run out, or the global budget is exhausted.
 
@@ -563,15 +396,17 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
       HBM allocator.
     - a successful-but-slow timing (contended window) also advances the
       ladder (smaller footprint competes better for HBM) and retries.
-    - returns the best observed timing, or None if every attempt errored
-      or the budget ran out first. Never sleeps: the global deadline is
-      the only clock that matters.
+    - returns (best, sane): best observed timing (None if every attempt
+      errored or the budget ran out first) and whether it beat the SANE
+      contention ceiling. Never sleeps: the global deadline is the only
+      clock that matters.
     """
     sane = SANE[phase]
     ladder = list(ladder or [()])
     best = None
+    best_extra = ()
     rung = 0
-    rung_key = f"{_PHASE_KEY[phase]}_rung"
+    rung_key = f"{PHASE_KEY[phase]}_rung"
     if len(ladder) > 1:
         # start at the last rung that produced a sane timing under this
         # code fingerprint: re-proving chunk 6 under co-tenant HBM pressure
@@ -586,7 +421,8 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
         extra = ladder[min(rung, len(ladder) - 1)]
         try:
             val = _run_phase_subprocess(phase, extra, timeout=timeout)
-            best = val if best is None else min(best, val)
+            if best is None or val < best:
+                best, best_extra = val, extra
             if best <= sane:
                 break
             print(f"bench: {phase}{extra} took {val:.2f}s (contended window) — "
@@ -597,54 +433,52 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
             rung += 1
         except Exception as e:  # noqa: BLE001
             print(f"bench: {phase} attempt failed: {e}", file=sys.stderr, flush=True)
-    key = _PHASE_KEY[phase]
+    key = PHASE_KEY[phase]
     fp = _fingerprint(phase)
     if best is not None and best <= sane:
         cached = _cache_get(cache, key, fp)
         if cached is None or best < cached:
-            cache[key] = {"t": round(best, 4), "fp": fp}
+            _store(cache, key, fp, best, args=best_extra)
         if len(ladder) > 1:
             # remember which rung succeeded (last-write-wins, see
             # _save_cache) so the next run starts there
-            cache[rung_key] = {"t": min(rung, len(ladder) - 1), "fp": fp}
+            _store(cache, rung_key, fp, min(rung, len(ladder) - 1))
         _save_cache(cache)
-        return best
-    # all windows were contended: prefer the cached quiet-window number for
-    # THIS code fingerprint (reported stale by _emit) over a garbage figure —
-    # unless there is none, in which case report the best we saw, honestly
-    if _cache_get(cache, key, fp) is not None:
-        return None
-    return best
+        return best, True
+    return best, False
 
 
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--phase":
         phase = sys.argv[2]
-        fn = {"sampler": _bench_sampler, "sampler_pab": _bench_sampler_pab,
-              "vae": _bench_vae, "train": _bench_train,
-              "encode": _bench_encode}[phase]
-        val = fn()
+        extra = sys.argv[3:]
+        val = PHASE_FNS[phase](tuple(extra))
         print(val)
         # A/B queue runs (scripts/onchip_ab*.sh) measure the same phase
         # definitions — persist sane results under the current fingerprint
-        # so they warm the cache the driver's full bench reads. A/B legs
-        # with non-default knobs fingerprint differently and never stand
-        # in for the headline.
+        # so they warm the cache the driver's full bench reads. Runs with
+        # NON-default phase args (e.g. `--phase vae 2`) never auto-cache:
+        # a non-headline-chunk decode time must not stand in for the
+        # headline figure without ladder provenance.
+        if extra and list(extra) != PHASE_DEFAULT_ARGS.get(phase, []):
+            return
         try:
             v = float(val)
         except (TypeError, ValueError):
             return
         if v <= SANE.get(phase, float("inf")):
             cache = _load_cache()
-            key, fp = _PHASE_KEY[phase], _fingerprint(phase)
+            key, fp = PHASE_KEY[phase], _fingerprint(phase)
             cached = _cache_get(cache, key, fp)
             if cached is None or v < cached:
-                cache[key] = {"t": round(v, 4), "fp": fp}
+                _store(cache, key, fp, v,
+                       args=extra or PHASE_DEFAULT_ARGS.get(phase))
                 _save_cache(cache)
         return
 
     cache = _load_cache()
     results: dict = {}
+    contended: dict = {}
     incomplete = ["sampler", "vae", "train"]
 
     # hard backstop: even if a phase subprocess wedges past its own timeout
@@ -658,24 +492,15 @@ def main():
     def _deadline(_sig, _frm):
         print("bench: global budget exhausted — emitting best-so-far",
               file=sys.stderr, flush=True)
-        _emit(results, cache, incomplete)
-        if _EMITTED == 0:  # _emit had nothing reportable: still leave a line
-            print(json.dumps({
-                "metric": "frames/sec/chip (49x320x480 occupancy-conditioned, 2B DiT, 50-step sampler)",
-                "value": None, "unit": "frames/s", "vs_baseline": None,
-                "baseline_is_estimate": True,
-                "detail": {"error": "budget exhausted before sampler/vae measured",
-                           "incomplete": incomplete,
-                           "partial": {p: round(v, 4) for p, v in results.items()}},
-            }), flush=True)
+        _emit(results, contended, cache, incomplete)
         sys.exit(0)
 
     signal.signal(signal.SIGALRM, _deadline)
     signal.alarm(int(GLOBAL_BUDGET_S + 30))
 
     # startup emit: if a previous quiet window populated the cache, a
-    # parseable (all-stale) line exists within seconds of process start
-    _emit(results, cache, incomplete)
+    # parseable line exists within seconds of process start
+    _emit(results, contended, cache, incomplete)
 
     # Dead-tunnel early exit: when backend init hangs (observed 2026-08-17,
     # no exception — just a retry loop), every phase subprocess would burn
@@ -693,12 +518,8 @@ def main():
             alive = False
         if not alive:
             print("bench: TPU backend init hung twice — tunnel is down; "
-                  "reporting cached quiet-window timings", file=sys.stderr,
-                  flush=True)
-            _emit(results, cache, incomplete)
-            if _EMITTED == 0:  # cache entries exist but fingerprints mismatch
-                _emit_nothing(results, incomplete,
-                              "tunnel down; cached numbers are for older code")
+                  "reporting cached timings", file=sys.stderr, flush=True)
+            _emit(results, contended, cache, incomplete)
             return
 
     for phase, kwargs in [
@@ -713,41 +534,29 @@ def main():
                           first_timeout=900.0))]
          if os.environ.get("ORV_TPU_BENCH_ENCODE") == "1" else []) \
       + ([("sampler_pab", dict(max_attempts=2, first_timeout=900.0))]
-         if os.environ.get("ORV_TPU_BENCH_PAB") == "1" else []):
+         if os.environ.get("ORV_TPU_BENCH_PAB") == "1" else []) \
+      + ([("train_b4", dict(max_attempts=2, first_timeout=900.0))]
+         if os.environ.get("ORV_TPU_BENCH_TRAIN_B4") == "1" else []) \
+      + ([("train_b2", dict(max_attempts=2, first_timeout=900.0))]
+         if os.environ.get("ORV_TPU_BENCH_TRAIN_B2") == "1" else []):
         if _remaining() < 90.0:
             break
-        val = _phase_with_retries(phase, cache, **kwargs)
-        if val is not None or _cache_get(cache, _PHASE_KEY[phase],
-                                         _fingerprint(phase)) is not None:
-            # measured fresh, or a cached quiet-window number stands in
-            # (stale-flagged by _emit); a phase that errored every attempt
-            # with no cache STAYS in `incomplete` so the report shows it.
-            # Optional detail phases (encode, sampler_pab) are never in the
-            # list — discard, don't remove (remove raised ValueError and
-            # killed the 2026-08-19 full bench after its last phase).
-            if phase in incomplete:
-                incomplete.remove(phase)
-        if val is not None:
+        val, sane = _phase_with_retries(phase, cache, **kwargs)
+        if val is not None and sane:
             results[phase] = val
-        _emit(results, cache, incomplete)
-
-    # guarantee at least one parseable line: _emit early-returns whenever
-    # sampler or vae has neither a fresh result nor a cache entry, so a run
-    # where e.g. only train/vae succeeded would otherwise print NOTHING
-    if _EMITTED == 0:
-        _emit_nothing(results, incomplete,
-                      "sampler/vae never measured and not cached")
-
-
-def _emit_nothing(results: dict, incomplete: list, error: str) -> None:
-    print(json.dumps({
-        "metric": "frames/sec/chip (49x320x480 occupancy-conditioned, 2B DiT, 50-step sampler)",
-        "value": None, "unit": "frames/s", "vs_baseline": None,
-        "baseline_is_estimate": True,
-        "detail": {"error": error,
-                   "incomplete": incomplete,
-                   "partial": {p: round(v, 4) for p, v in results.items()}},
-    }), flush=True)
+        elif val is not None:
+            contended[phase] = val
+        if phase in incomplete and (
+                val is not None
+                or _cache_get(cache, PHASE_KEY[phase], _fingerprint(phase))
+                is not None):
+            # measured (even contended — it ran), or a cached quiet-window
+            # number stands in; a phase that errored every attempt with no
+            # cache STAYS in `incomplete` so the report shows it. Optional
+            # detail phases are never in the list — hence the membership
+            # check, never an unconditional remove.
+            incomplete.remove(phase)
+        _emit(results, contended, cache, incomplete)
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 def main():
     quant = "--bf16" not in sys.argv
     sys.path.insert(0, "/root/repo")
-    from bench import LATENT_F, LATENT_H, LATENT_W, _flagship_model
+    from bench_phases import LATENT_F, LATENT_H, LATENT_W, _flagship_model
 
     model = _flagship_model(quant=quant)
     B = 1

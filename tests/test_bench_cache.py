@@ -41,11 +41,22 @@ def test_fingerprint_changes_with_source(bench, monkeypatch, tmp_path):
     # point the repo root at a copy with an edited vae.py
     fake = tmp_path / "repo"
     (fake / "orv_tpu" / "models").mkdir(parents=True)
-    (fake / "bench.py").write_bytes((REPO / "bench.py").read_bytes())
+    (fake / "bench_phases.py").write_bytes((REPO / "bench_phases.py").read_bytes())
     (fake / "orv_tpu" / "models" / "vae.py").write_bytes(
         (REPO / "orv_tpu" / "models" / "vae.py").read_bytes() + b"\n# edited\n")
     monkeypatch.setattr(bench, "_REPO", fake)
     assert bench._fingerprint("vae") != fp0
+
+
+def test_fingerprint_ignores_orchestration_edits(bench, monkeypatch, tmp_path):
+    """Round-4 trap: editing the monolithic bench.py invalidated every
+    cached timing even for emit-policy-only changes, and the round's
+    artifact went null. Measurement definitions now live in
+    bench_phases.py; bench.py (orchestration) is in NO phase fingerprint."""
+    for phase in bench.PHASE_DEPS:
+        files, _ = bench.PHASE_DEPS[phase]
+        assert "bench.py" not in files
+        assert "bench_phases.py" in files
 
 
 def test_cache_get_rejects_mismatched_fingerprint(bench):
@@ -67,8 +78,10 @@ def test_legacy_v1_entries_migrate_with_null_fp(bench):
 def test_save_merges_min_only_within_same_fp(bench):
     # on disk: an OLD-code best of 1.0s
     bench.CACHE_PATH.write_text(json.dumps({"vae_decode_s": {"t": 1.0, "fp": "old"}}))
-    # in memory: the current code measured SLOWER (a regression)
-    cache = {"vae_decode_s": {"t": 2.5, "fp": "new"}}
+    # in memory: the current code MEASURED slower (a regression) — _store
+    # marks it fresh, which grants the cross-fp override
+    cache = {}
+    bench._store(cache, "vae_decode_s", "new", 2.5)
     bench._save_cache(cache)
     on_disk = json.loads(bench.CACHE_PATH.read_text())
     # the regression is recorded; the old-code 1.0 does NOT win
@@ -114,24 +127,27 @@ def test_ladder_starts_at_last_known_good_rung(bench, monkeypatch):
 
     monkeypatch.setattr(bench, "_run_phase_subprocess", fake_run)
     cache = {"vae_decode_s_rung": {"t": 1, "fp": fp}}
-    val = bench._phase_with_retries("vae", cache,
-                                    ladder=[(6,), (4,), (2,), (0,)])
-    assert val == 1.8
+    val, sane = bench._phase_with_retries("vae", cache,
+                                          ladder=[(6,), (4,), (2,), (0,)])
+    assert (val, sane) == (1.8, True)
     assert runs == [(4,)]  # started at rung 1, not rung 0
-    assert cache["vae_decode_s_rung"] == {"t": 1, "fp": fp}
+    assert cache["vae_decode_s_rung"]["t"] == 1
+    assert cache["vae_decode_s_rung"]["fp"] == fp
+    assert cache["vae_decode_s"]["args"] == ["4"]  # chunk provenance
     # a mismatched fingerprint resets to rung 0
     runs.clear()
     cache = {"vae_decode_s_rung": {"t": 2, "fp": "stale"}}
     bench._phase_with_retries("vae", cache, ladder=[(6,), (4,), (2,), (0,)])
     assert runs == [(6,)]
-    assert cache["vae_decode_s_rung"] == {"t": 0, "fp": fp}
+    assert cache["vae_decode_s_rung"]["t"] == 0
+    assert cache["vae_decode_s_rung"]["fp"] == fp
 
 
 def test_phase_mode_saves_sane_result_to_cache(bench, monkeypatch):
     """`bench.py --phase X` (the on-chip A/B queue) persists sane timings
     under the current fingerprint so queue runs warm the cache the full
     bench reads — the round-4 queue measured 11.009s that never landed."""
-    monkeypatch.setattr(bench, "_bench_sampler", lambda: 11.009)
+    monkeypatch.setitem(bench.PHASE_FNS, "sampler", lambda args=(): 11.009)
     monkeypatch.setattr(sys, "argv", ["bench.py", "--phase", "sampler"])
     bench.main()
     on_disk = json.loads(bench.CACHE_PATH.read_text())
@@ -139,6 +155,6 @@ def test_phase_mode_saves_sane_result_to_cache(bench, monkeypatch):
                                     "fp": bench._fingerprint("sampler")}
     # an insane (contended-window) figure must NOT enter the cache
     bench.CACHE_PATH.unlink()
-    monkeypatch.setattr(bench, "_bench_sampler", lambda: 250.0)
+    monkeypatch.setitem(bench.PHASE_FNS, "sampler", lambda args=(): 250.0)
     bench.main()
     assert not bench.CACHE_PATH.exists()

@@ -41,23 +41,29 @@ def test_emit_stale_and_fresh(tmp_path, monkeypatch, capsys):
     bench = _load_bench(tmp_path, monkeypatch)
     cache = {"sampler_s": {"t": 12.0, "fp": bench._fingerprint("sampler")},
              "vae_decode_s": {"t": 1.8, "fp": bench._fingerprint("vae")}}
-    bench._emit({"sampler": 11.5}, cache, incomplete=["vae", "train"])
+    bench._emit({"sampler": 11.5}, {}, cache, ["vae", "train"])
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["value"] > 0
     assert line["detail"]["sampler_s"] == 11.5  # fresh beats cache
     assert line["detail"]["stale"] == ["vae"]
-    # a cache stand-in says nothing about the current window (ADVICE r3 #3)
-    assert line["detail"]["vae_contended_window"] is None
+    # a cache stand-in says nothing about the current window (ADVICE r3 #3):
+    # the contended-window flag is only emitted for this-run measurements
+    assert "vae_contended_window" not in line["detail"]
     assert line["detail"]["incomplete"] == ["vae", "train"]
     assert line["baseline_is_estimate"] is True
 
 
-def test_emit_silent_without_sampler_or_vae(tmp_path, monkeypatch, capsys):
+def test_emit_always_leaves_a_line(tmp_path, monkeypatch, capsys):
+    """Round-5 policy: even with nothing reportable, the emit leaves a
+    parseable null-value line with an error field — a kill at any point
+    leaves the driver a valid (if empty) record."""
     bench = _load_bench(tmp_path, monkeypatch)
-    before = bench._EMITTED
-    bench._emit({"train": 0.5}, {}, incomplete=["sampler", "vae"])
-    assert capsys.readouterr().out == ""  # nothing reportable
-    assert bench._EMITTED == before  # main()'s fallback guard keys off this
+    bench._emit({"train": 0.5}, {}, {}, ["sampler", "vae"])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] is None
+    assert "sampler" in line["detail"]["error"]
+    assert line["detail"]["partial"] == {"train": 0.5}
+    assert line["detail"]["measured_this_run"]["train"] is True
 
 
 def test_merge_manifests_skips_stale_and_cascaded(tmp_path):
