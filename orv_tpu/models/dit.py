@@ -43,6 +43,20 @@ from orv_tpu.utils.embeddings import get_3d_sincos_pos_embed, get_timestep_embed
 Dtype = Any
 
 
+def _act_pin(x: jnp.ndarray, act_mesh) -> jnp.ndarray:
+    """Pin a [B, S, D] activation to the (dp, fsdp)-batch sharding with
+    everything else replicated (Megatron convention — tp shards kernels,
+    not block inputs/outputs). No-op without a mesh. See ControlDiT.act_mesh."""
+    if act_mesh is None:
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axes = tuple(a for a in ("dp", "fsdp")
+                 if a in act_mesh.axis_names and act_mesh.shape[a] > 1)
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(act_mesh, PartitionSpec(axes if axes else None)))
+
+
 @dataclasses.dataclass(frozen=True)
 class DiTConfig:
     """Mirrors the reference model config surface
@@ -211,18 +225,10 @@ class ControlDiT(nn.Module):
         inner_dim = c.inner_dim
 
         def act_pin(x):
-            # pin [B, S, D] activations at the embed/head boundaries: batch
-            # over (dp, fsdp), everything else replicated (Megatron
-            # convention — tp shards kernels, not block inputs/outputs).
-            # See act_mesh docstring.
-            if self.act_mesh is None:
-                return x
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            axes = tuple(a for a in ("dp", "fsdp")
-                         if a in self.act_mesh.axis_names and self.act_mesh.shape[a] > 1)
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(self.act_mesh, PartitionSpec(axes if axes else None)))
+            # pin [B, S, D] activations at the embed/head boundaries (the
+            # scan cell additionally pins its carry per layer). See
+            # act_mesh docstring and _act_pin.
+            return _act_pin(x, self.act_mesh)
 
         def _head(hidden, enc, temb, action_emb, num_frames, height, width):
             # 6. final norm (5b family norms text+video jointly)

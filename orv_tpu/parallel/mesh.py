@@ -138,20 +138,44 @@ def _spec_for(path: tuple, shape: tuple, mesh: Mesh) -> P:
             spec[-2] = "tp"
 
     if fsdp_size > 1:
-        # largest free axis divisible by fsdp — except the output head:
-        # an output-dim-sharded proj_out kernel makes GSPMD demand a
-        # feature-sharded cotangent at the unpatchify reshape in the
-        # backward, which it can only satisfy by "Involuntary full
-        # rematerialization" (fires when out_features > inner_dim, e.g.
-        # tiny test configs; at flagship shapes the size rule already
-        # picks the input dim). Head kernels ZeRO-shard input-dim only.
+        # largest free axis divisible by fsdp — except:
+        # - the output head: an output-dim-sharded proj_out kernel makes
+        #   GSPMD demand a feature-sharded cotangent at the unpatchify
+        #   reshape in the backward, which it can only satisfy by
+        #   "Involuntary full rematerialization" (fires when out_features >
+        #   inner_dim, e.g. tiny test configs; at flagship shapes the size
+        #   rule already picks the input dim). Head kernels ZeRO-shard
+        #   input-dim only.
+        # - scanned block kernels [L, in, out]: ZeRO-shard the OUT dim
+        #   (stacking on 'tp' when tp already owns it). An in-dim-sharded
+        #   kernel forces the weight-grad dot inside the backward scan to
+        #   demand a feature-sharded copy of the layer-stacked saved
+        #   activation, which GSPMD satisfies with "Involuntary full
+        #   rematerialization" (observed on the joint [B,104,64] block
+        #   input under dp x fsdp, 2026-08-19 — to_k weight grad, XLA
+        #   b/433785288); the out-dim demand lands on the cotangent, which
+        #   is PRODUCED inside the loop, so propagation shards it cleanly.
+        # EXCEPT under sp: out-dim fsdp puts the shard on the heads dim of
+        # q/k/v, which collides with the ring shard_map's batch-only specs
+        # (GSPMD halo-exchange full-remat at the ring boundary, observed
+        # 2026-08-19 under dp x fsdp x sp); the ring restructures the
+        # backward such that the in-dim rule is full-remat-clean there.
+        sp_active = mesh.shape.get("sp", 1) > 1
+        scanned_kernel = (start == 1 and "kernel" in names and len(shape) >= 3
+                          and not sp_active)
         if "proj_out" in names and "kernel" in names and len(shape) >= 2:
             order = [len(shape) - 2]
+        elif scanned_kernel:
+            order = [len(shape) - 1, len(shape) - 2]
         else:
             order = sorted(range(start, len(shape)), key=lambda i: -shape[i])
         for i in order:
             if spec[i] is None and shape[i] % fsdp_size == 0 and shape[i] >= fsdp_size:
                 spec[i] = "fsdp"
+                break
+            if (scanned_kernel and spec[i] == "tp" and i == len(shape) - 1
+                    and shape[i] % (tp_size * fsdp_size) == 0):
+                spec[i] = ("tp", "fsdp")
                 break
     return P(*spec)
 

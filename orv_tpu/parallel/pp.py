@@ -63,17 +63,28 @@ def _is_blocks(path) -> bool:
                for p in path)
 
 
-def _fsdp_axis(shape: tuple, fsdp_size: int) -> int:
-    """ZeRO shard axis for one stacked block leaf [L, ...]: the largest
+def _fsdp_axis(shape: tuple, fsdp_size: int, kernel: bool = False) -> int:
+    """ZeRO shard axis for one stacked block leaf [L, ...]: kernels
+    [L, in, out] shard the OUT dim first, everything else the largest
     non-layer axis divisible by the fsdp size (same selection rule as
-    mesh._spec_for so the outer param shardings and the shard_map in_specs
-    agree and no resharding happens at the boundary). -1 = replicate."""
+    mesh._spec_for — see the full-remat rationale there — so the outer
+    param shardings and the shard_map in_specs agree and no resharding
+    happens at the boundary). -1 = replicate."""
     if fsdp_size <= 1 or len(shape) < 2:
         return -1
-    for i in sorted(range(1, len(shape)), key=lambda i: -shape[i]):
+    if kernel and len(shape) >= 3:
+        order = [len(shape) - 1, len(shape) - 2]
+    else:
+        order = sorted(range(1, len(shape)), key=lambda i: -shape[i])
+    for i in order:
         if shape[i] % fsdp_size == 0 and shape[i] >= fsdp_size:
             return i
     return -1
+
+
+def _is_kernel(path) -> bool:
+    return any(getattr(p, "key", getattr(p, "name", str(p))) == "kernel"
+               for p in path)
 
 
 def _pp_specs(params: Any, fsdp_size: int = 1):
@@ -86,7 +97,7 @@ def _pp_specs(params: Any, fsdp_size: int = 1):
             return P()
         spec = [None] * leaf.ndim
         spec[0] = "pp"
-        ax = _fsdp_axis(leaf.shape, fsdp_size)
+        ax = _fsdp_axis(leaf.shape, fsdp_size, kernel=_is_kernel(path))
         if ax >= 0:
             spec[ax] = "fsdp"
         return P(*spec)
@@ -242,8 +253,15 @@ def make_pp_train_step(
     dp_size = mesh.shape["dp"]
     fsdp_size = mesh.shape.get("fsdp", 1)
     if mesh.shape.get("tp", 1) != 1 or mesh.shape.get("sp", 1) != 1:
-        raise ValueError("pp composes with dp and fsdp only (tp=sp=1); "
-                         f"got mesh {dict(mesh.shape)}")
+        # pp runs the block stack inside a fully-manual shard_map, where
+        # GSPMD cannot shard kernels (tp) and the sp ring (itself a
+        # shard_map) is not nested. See PARITY.md "Parallelism composition
+        # matrix" for the per-cell rationale.
+        raise ValueError(
+            "pp composes with dp and fsdp only (tp=sp=1); got mesh "
+            f"{dict(mesh.shape)}. For tensor parallelism drop pp and use "
+            "the GSPMD mesh (train.mesh dp/fsdp/tp); for long sequences "
+            "use train.mesh.sp (composes with dp/fsdp, not pp)")
     if getattr(model, "act_mesh", None) is not None:
         # the pp step runs the model INSIDE shard_map (all axes manual),
         # where with_sharding_constraint on mesh axes is illegal — and
@@ -262,7 +280,8 @@ def make_pp_train_step(
         # shard_map leaves are local and the largest-axis rule could pick a
         # different axis)
         gather_axes = jax.tree_util.tree_map_with_path(
-            lambda path, leaf: (_fsdp_axis(leaf.shape, fsdp_size)
+            lambda path, leaf: (_fsdp_axis(leaf.shape, fsdp_size,
+                                           kernel=_is_kernel(path))
                                 if _is_blocks(path) and leaf.ndim >= 1
                                 else -1),
             params,

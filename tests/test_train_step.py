@@ -88,8 +88,17 @@ def test_tp_shards_attention_kernels():
         jnp.zeros((8,), jnp.int32), actions=b["actions"], deterministic=False,
     )
     sh = param_shardings(params, mesh)
+
+    def axes(spec):  # flatten (possibly stacked) PartitionSpec entries
+        out = []
+        for e in tuple(spec):
+            out.extend(e if isinstance(e, tuple) else [e])
+        return out
+
     qk = sh["params"]["blocks"]["block"]["attn1"]["to_q"]["kernel"].spec
-    assert "tp" in tuple(qk)
+    # round-5 rule: scanned kernels ZeRO-shard the OUT dim, stacked on tp
+    assert tuple(qk) == (None, None, ("tp", "fsdp")), qk
+    assert "tp" in axes(qk)
     out = sh["params"]["blocks"]["block"]["attn1"]["to_out"]["kernel"].spec
     assert out[-2] == "tp" or out[1] == "tp"
 
@@ -569,3 +578,41 @@ def test_head_kernel_fsdp_shards_input_dim():
     # non-head kernels keep the largest-free-axis rule (tp out, then fsdp)
     spec = _spec_for((K("to_q"), K("kernel")), (16, 64), mesh)
     assert tuple(spec) == ("fsdp", "tp"), spec
+
+
+def test_scanned_kernel_fsdp_shards_out_dim():
+    """Scanned block kernels [L, in, out] ZeRO-shard the OUT dim (stacking
+    on 'tp' when tp already owns it): an in-dim-sharded kernel forces the
+    weight-grad dot inside the backward scan to demand a feature-sharded
+    copy of the layer-stacked saved activation, which GSPMD satisfies with
+    "Involuntary full rematerialization" (round-5 VERDICT #2 root cause;
+    the seeded regression lives in tests/test_dryrun_gate.py)."""
+    from orv_tpu.parallel.mesh import _spec_for
+    from orv_tpu.parallel.pp import _fsdp_axis
+
+    class K:
+        def __init__(self, key):
+            self.key = key
+
+    path = (K("blocks"), K("block"), K("attn1"), K("to_k"), K("kernel"))
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2), backend="cpu")
+    # tp owns the out dim -> fsdp stacks onto it, in dim stays unsharded
+    spec = _spec_for(path, (2, 64, 64), mesh)
+    assert tuple(spec) == (None, None, ("tp", "fsdp")), spec
+    # row-parallel net_2 [L, in(tp), out]: fsdp takes the free out dim
+    p2 = (K("blocks"), K("block"), K("ff"), K("net_2"), K("kernel"))
+    spec = _spec_for(p2, (2, 256, 64), mesh)
+    assert tuple(spec) == (None, "tp", "fsdp"), spec
+    # no tp: fsdp alone lands on the out dim
+    mesh1 = make_mesh(MeshConfig(dp=4, fsdp=2), backend="cpu")
+    spec = _spec_for(path, (2, 64, 64), mesh1)
+    assert tuple(spec) == (None, None, "fsdp"), spec
+    # under sp the ring's batch-only specs veto the out-dim shard (it would
+    # land on the heads dim of q/k/v) — the in-dim rule applies instead
+    mesh_sp = make_mesh(MeshConfig(dp=2, fsdp=2, sp=2), backend="cpu")
+    spec = _spec_for(path, (2, 64, 64), mesh_sp)
+    assert tuple(spec) == (None, "fsdp", None), spec
+    # pp's in-shard_map gather axis agrees with the at-rest rule
+    assert _fsdp_axis((2, 64, 64), 2, kernel=True) == 2
+    assert _fsdp_axis((2, 64, 256), 2, kernel=True) == 2
+    assert _fsdp_axis((2, 64), 2, kernel=False) == 1
