@@ -113,3 +113,46 @@ def test_compute_fid_with_custom_extractor():
     fid_diff = compute_fid(vids_a, vids_b, features_fn=fn, num_frames=4)
     assert fid_same < 1e-6
     assert fid_diff > fid_same
+
+
+# ---------------------------------------------------------------------------
+# Golden-value drift tests (round-5 VERDICT #7): fixed-seed synthetic
+# weights + fixed input -> recorded activations. The FID/FVD extractors
+# have no in-environment pretrained weights to validate against
+# (scripts/check_real_weights.py --metrics runs the torchvision /
+# pytorch-i3d diff the moment weights appear); until then these goldens
+# catch silent refactor drift — any pooling/padding/stride change shifts
+# every value. Recorded 2026-08-19 (jax 0.7.x CPU); tolerance absorbs
+# cross-version conv FP noise, not structural change.
+# ---------------------------------------------------------------------------
+
+
+def test_inception_pool3_golden_activations():
+    net = InceptionV3Pool3()
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 96, 96, 3),
+                           jnp.float32, -1, 1)
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(net.apply(params, x))
+    assert out.shape == (1, 2048)
+    np.testing.assert_allclose(out.mean(), 0.000151, atol=2e-5)
+    np.testing.assert_allclose(out.std(), 0.000311, atol=3e-5)
+    np.testing.assert_allclose(
+        out.reshape(-1)[:8],
+        [0.001466, 0.000631, 0.0, 0.0, 0.000999, 0.0, 0.0, 0.001338],
+        atol=5e-5)
+
+
+def test_i3d_golden_activations():
+    net = I3D()
+    x = jax.random.uniform(jax.random.PRNGKey(2), (1, 9, 64, 64, 3),
+                           jnp.float32, -1, 1)
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(net.apply(params, x))
+    assert out.shape == (1, 400)
+    np.testing.assert_allclose(out.mean(), 0.000251, atol=5e-5)
+    np.testing.assert_allclose(out.std(), 0.006101, atol=3e-4)
+    np.testing.assert_allclose(
+        out.reshape(-1)[:8],
+        [-0.000259, -0.011148, -0.001247, 0.005969, 0.001787, -0.004675,
+         0.003396, -0.003201],
+        atol=3e-4)
