@@ -212,9 +212,11 @@ def fused_adaln_override(enabled: bool):
     on-chip A/B (2026-08-19, v5e) measured the fused custom-VJP training
     step at 0.4344 s/step vs 0.4197 for XLA's autodiff of the unfused
     lowering — the fused backward is a net regression under grad, while the
-    forward-only serving path keeps a measured win. Env knobs still take
-    precedence (`ORV_TPU_FUSED_ADALN=0` → XLA everywhere, `=force` → Pallas
-    everywhere incl. off-TPU interpret mode and training)."""
+    forward-only serving path keeps a measured win. `enabled=True`
+    force-enables the kernels regardless of backend (interpret mode
+    off-TPU). Env knobs still take precedence (`ORV_TPU_FUSED_ADALN=0` →
+    XLA everywhere, `=force` → Pallas everywhere incl. off-TPU interpret
+    mode and training)."""
     global _FUSED_ADALN_OVERRIDE
     prev = _FUSED_ADALN_OVERRIDE
     _FUSED_ADALN_OVERRIDE = enabled
@@ -240,8 +242,11 @@ def _fused_adaln_ok() -> bool:
         return False
     if v == "force":
         return True
-    if _FUSED_ADALN_OVERRIDE is not None and not _FUSED_ADALN_OVERRIDE:
-        return False
+    if _FUSED_ADALN_OVERRIDE is not None:
+        # honor BOTH directions: override(False) is the train-step path;
+        # override(True) force-enables the kernels regardless of backend
+        # (interpret mode off-TPU) — previously silently a no-op
+        return _FUSED_ADALN_OVERRIDE
     return jax.default_backend() == "tpu"
 
 

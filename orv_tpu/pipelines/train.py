@@ -395,9 +395,16 @@ def train(cfg: Config, vae=None, vae_params=None):
                        # "Involuntary full rematerialization" at
                        # patch_embed (VERDICT r3 #4) and at the unpatchify
                        # reshape backward (fsdp-sharded kernels back-prop
-                       # feature shardings into the boundary reshapes)
-                       act_mesh=mesh if (mesh.shape.get("tp", 1) > 1
-                                         or mesh.shape.get("fsdp", 1) > 1)
+                       # feature shardings into the boundary reshapes).
+                       # NOT under sp: the pin's PartitionSpec leaves the
+                       # sequence dim replicated, which would force
+                       # full-sequence [B,S,D] replication at every embed —
+                       # the exact memory cliff sp exists to avoid (the
+                       # dryrun fsdp-sp leg builds the model the same way
+                       # and is full-remat-clean without the pin)
+                       act_mesh=mesh if sp == 1
+                       and (mesh.shape.get("tp", 1) > 1
+                            or mesh.shape.get("fsdp", 1) > 1)
                        else None)
 
     # train.overfit (reference train...sft.py:563-596): train on the small
