@@ -12,9 +12,15 @@ echo $$ > /tmp/onchip_r5.pid
 DEADLINE=$(( $(date +%s) + ${ORV_TPU_R5_DEADLINE_S:-36000} ))  # 10h default
 log() { echo "$(date +%H:%M:%S) $*" >> "$LOG"; }
 
-probe() { # rc 0 iff a trivial matmul completes quickly (tunnel alive)
-  timeout 90 python - <<'EOF' >/dev/null 2>&1
+probe() { # rc 0 iff a trivial matmul completes (tunnel alive). Uses the
+  # persistent compile cache — without it every probe pays a fresh remote
+  # compile (40-300s contended) and times out even when the chip is fine
+  # (observed 2026-08-19 21:00-21:20: probes failed while a direct bench
+  # run measured the sampler at 11.0s).
+  timeout 150 python - <<'EOF' >/dev/null 2>&1
 import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 x = jnp.ones((1024, 1024)); float((x @ x).sum())
 EOF
 }
