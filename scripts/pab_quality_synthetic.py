@@ -142,37 +142,53 @@ def run(train_steps=600, sample_steps=50, n_clips=8, out=None,
                        jax.random.fold_in(key, 1)), np.float32))
         return outs
 
-    exact = render(SamplerConfig(num_inference_steps=sample_steps))
     # fixed random projection for the distributional (FVD-stand-in) metric
     rp = np.random.default_rng(0).normal(
         0, 1 / np.sqrt(clip.size), (clip.size, 16)).astype(np.float32)
     feats = lambda vids: np.stack([v.reshape(-1) @ rp for v in vids])
-    mu_e, sig_e = gaussian_stats(feats(exact))
 
     report = {
         "train_steps": train_steps, "sample_steps": sample_steps,
         "n_clips": n_clips, "final_train_loss": losses[-1],
-        "recon_psnr_exact": float(np.mean([_psnr(v, clip, peak) for v in exact])),
-        "cells": [],
     }
-    for skip in skips:
-        for (lo, hi) in windows:
-            pab = render(SamplerConfig(num_inference_steps=sample_steps,
-                                       pab_skip=skip, pab_start=lo, pab_end=hi))
-            mu_p, sig_p = gaussian_stats(feats(pab))
-            cell = {
-                "pab_skip": skip, "window": [lo, hi],
-                "recon_psnr_pab": float(np.mean(
-                    [_psnr(v, clip, peak) for v in pab])),
-                "pab_vs_exact_psnr": float(np.mean(
-                    [_psnr(p, e, peak) for p, e in zip(pab, exact)])),
-                "frechet_rp": float(frechet_distance(mu_e, sig_e, mu_p, sig_p)),
-            }
-            cell["safe"] = bool(cell["pab_vs_exact_psnr"]
-                                >= report["recon_psnr_exact"] + 6.0)
-            report["cells"].append(cell)
-            print(json.dumps(cell), flush=True)
-    print(json.dumps({k: v for k, v in report.items() if k != "cells"}),
+    # two sampler groups: the production config (stochastic DPM — per-step
+    # noise injection bounds recon PSNR regardless of model quality) and
+    # the deterministic variant (recon error is the MODEL's error, so the
+    # decision-rule margin is interpretable)
+    for group, stochastic in [("stochastic_dpm", True), ("deterministic", False)]:
+        exact = render(SamplerConfig(num_inference_steps=sample_steps,
+                                     stochastic_dpm=stochastic))
+        mu_e, sig_e = gaussian_stats(feats(exact))
+        g = {
+            "recon_psnr_exact": float(np.mean(
+                [_psnr(v, clip, peak) for v in exact])),
+            "cells": [],
+        }
+        for skip in skips:
+            for (lo, hi) in windows:
+                pab = render(SamplerConfig(
+                    num_inference_steps=sample_steps, stochastic_dpm=stochastic,
+                    pab_skip=skip, pab_start=lo, pab_end=hi))
+                mu_p, sig_p = gaussian_stats(feats(pab))
+                cell = {
+                    "pab_skip": skip, "window": [lo, hi],
+                    "recon_psnr_pab": float(np.mean(
+                        [_psnr(v, clip, peak) for v in pab])),
+                    "pab_vs_exact_psnr": float(np.mean(
+                        [_psnr(p, e, peak) for p, e in zip(pab, exact)])),
+                    "frechet_rp": float(frechet_distance(mu_e, sig_e,
+                                                         mu_p, sig_p)),
+                }
+                cell["safe"] = bool(cell["pab_vs_exact_psnr"]
+                                    >= g["recon_psnr_exact"] + 6.0)
+                g["cells"].append(cell)
+                print(json.dumps({"group": group, **cell}), flush=True)
+        report[group] = g
+    # back-compat top-level fields = the production (stochastic) group
+    report["recon_psnr_exact"] = report["stochastic_dpm"]["recon_psnr_exact"]
+    report["cells"] = report["stochastic_dpm"]["cells"]
+    print(json.dumps({k: v for k, v in report.items()
+                      if k not in ("cells", "stochastic_dpm", "deterministic")}),
           flush=True)
     if out:
         Path(out).write_text(json.dumps(report, indent=1) + "\n")
