@@ -25,15 +25,19 @@ x = jnp.ones((1024, 1024)); float((x @ x).sum())
 EOF
 }
 
-# phases still missing a fingerprint-valid cache entry (space-separated)
+# phases still missing a fingerprint-valid cache entry (space-separated);
+# $1 = "core" restricts to the phases that gate the decode profile (the
+# batch-scaling detail phases b2/b4 keep warming but must not block it)
 missing() {
-  python - <<'EOF'
+  python - "$1" <<'EOF'
 import sys
 sys.path.insert(0, "/root/repo")
 import bench
+core = ("sampler", "vae", "train", "encode", "sampler_pab")
+phases = core if (len(sys.argv) > 1 and sys.argv[1] == "core") \
+    else core + ("train_b4", "train_b2")
 cache = bench._load_cache()
-miss = [p for p in ("sampler", "vae", "train", "encode", "sampler_pab",
-                    "train_b4", "train_b2")
+miss = [p for p in phases
         if bench._cache_get(cache, bench.PHASE_KEY[p],
                             bench._fingerprint(p)) is None]
 print(" ".join(miss))
@@ -46,12 +50,13 @@ log "r5 queue starting (deadline in $(( (DEADLINE - $(date +%s)) / 60 )) min)"
 PROFILED=0
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   m=$(missing)
-  if [ -z "$m" ]; then
-    if [ "$PROFILED" = "1" ]; then
-      log "ALL DONE (cache warm + profile landed)"
-      exit 0
-    fi
-    log "cache fully warm — running decode profile"
+  mc=$(missing core)
+  if [ -z "$m" ] && [ "$PROFILED" = "1" ]; then
+    log "ALL DONE (cache warm + profile landed)"
+    exit 0
+  fi
+  if [ -z "$mc" ] && [ "$PROFILED" = "0" ]; then
+    log "core phases warm — running decode profile"
     if timeout 2400 python scripts/profile_decode.py \
          > /tmp/profile_decode_r5.txt 2>&1; then
       log "decode profile -> /tmp/profile_decode_r5.txt"
