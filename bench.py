@@ -522,23 +522,31 @@ def main():
             _emit(results, contended, cache, incomplete)
             return
 
+    # Phase order: the matmul-heavy scan phases (sampler/train and the
+    # optional pab/b2/b4) are contention-stable — they land even while a
+    # co-tenant wave makes every big-conv VAE program crawl 10-100x
+    # (observed 2026-08-19 23:00: train 0.417s fresh while tiled decode
+    # took 78s) — so they run FIRST and the budget-burning conv phases
+    # (vae ladder, encode) run last. Emit happens after every phase, so
+    # ordering never changes what a partial run reports.
     for phase, kwargs in [
         ("sampler", dict(max_attempts=3, first_timeout=900.0)),
+        ("train", dict(max_attempts=2, first_timeout=600.0)),
+    ] + ([("sampler_pab", dict(max_attempts=2, first_timeout=900.0))]
+         if os.environ.get("ORV_TPU_BENCH_PAB") == "1" else []) \
+      + ([("train_b2", dict(max_attempts=2, first_timeout=900.0))]
+         if os.environ.get("ORV_TPU_BENCH_TRAIN_B2") == "1" else []) \
+      + ([("train_b4", dict(max_attempts=2, first_timeout=900.0))]
+         if os.environ.get("ORV_TPU_BENCH_TRAIN_B4") == "1" else []) \
+      + [
         # decode chunk 6 is fastest but needs ~10GB HBM; under a co-tenant
         # memory hold descend to chunk 4 (~7GB) / 2 / 0 (spatially tiled,
         # ~2GB — the last-resort rung) in FRESH subprocesses
         ("vae", dict(ladder=[(6,), (4,), (2,), (0,)], max_attempts=4,
                      first_timeout=1500.0)),
-        ("train", dict(max_attempts=2, first_timeout=600.0)),
     ] + ([("encode", dict(ladder=[(8,), (4,), (2,)], max_attempts=3,
                           first_timeout=900.0))]
-         if os.environ.get("ORV_TPU_BENCH_ENCODE") == "1" else []) \
-      + ([("sampler_pab", dict(max_attempts=2, first_timeout=900.0))]
-         if os.environ.get("ORV_TPU_BENCH_PAB") == "1" else []) \
-      + ([("train_b4", dict(max_attempts=2, first_timeout=900.0))]
-         if os.environ.get("ORV_TPU_BENCH_TRAIN_B4") == "1" else []) \
-      + ([("train_b2", dict(max_attempts=2, first_timeout=900.0))]
-         if os.environ.get("ORV_TPU_BENCH_TRAIN_B2") == "1" else []):
+         if os.environ.get("ORV_TPU_BENCH_ENCODE") == "1" else []):
         if _remaining() < 90.0:
             break
         val, sane = _phase_with_retries(phase, cache, **kwargs)
