@@ -414,6 +414,8 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
         prev = _cache_get(cache, rung_key, _fingerprint(phase))
         if prev is not None:
             rung = min(int(prev), len(ladder) - 1)
+    key = PHASE_KEY[phase]
+    fp = _fingerprint(phase)
     for attempt in range(max_attempts):
         if _remaining() < 90.0:  # not enough budget for compile + trial
             break
@@ -431,18 +433,26 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
         except _PhaseOOM as e:
             print(f"bench: {e} — descending ladder", file=sys.stderr, flush=True)
             rung += 1
+            if len(ladder) > 1:
+                # persist the descent so the NEXT run (the warming queue
+                # cycles every ~50 min under a co-tenant HBM hold) skips
+                # straight past the rungs that just OOM'd instead of
+                # re-proving them; a later sane success promotes back up
+                _store(cache, rung_key, fp, min(rung, len(ladder) - 1))
+                _save_cache(cache)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {phase} attempt failed: {e}", file=sys.stderr, flush=True)
-    key = PHASE_KEY[phase]
-    fp = _fingerprint(phase)
     if best is not None and best <= sane:
         cached = _cache_get(cache, key, fp)
         if cached is None or best < cached:
             _store(cache, key, fp, best, args=best_extra)
         if len(ladder) > 1:
-            # remember which rung succeeded (last-write-wins, see
-            # _save_cache) so the next run starts there
-            _store(cache, rung_key, fp, min(rung, len(ladder) - 1))
+            # store one rung ABOVE the one that worked: the next run retries
+            # the faster footprint (one cheap OOM if the hold persists) so
+            # the ladder converges to the best feasible rung per window
+            # instead of pinning the pessimistic one (last-write-wins, see
+            # _save_cache)
+            _store(cache, rung_key, fp, max(min(rung, len(ladder) - 1) - 1, 0))
         _save_cache(cache)
         return best, True
     return best, False

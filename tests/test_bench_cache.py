@@ -131,7 +131,8 @@ def test_ladder_starts_at_last_known_good_rung(bench, monkeypatch):
                                           ladder=[(6,), (4,), (2,), (0,)])
     assert (val, sane) == (1.8, True)
     assert runs == [(4,)]  # started at rung 1, not rung 0
-    assert cache["vae_decode_s_rung"]["t"] == 1
+    # success PROMOTES one rung: next run retries the faster footprint
+    assert cache["vae_decode_s_rung"]["t"] == 0
     assert cache["vae_decode_s_rung"]["fp"] == fp
     assert cache["vae_decode_s"]["args"] == ["4"]  # chunk provenance
     # a mismatched fingerprint resets to rung 0
@@ -141,6 +142,32 @@ def test_ladder_starts_at_last_known_good_rung(bench, monkeypatch):
     assert runs == [(6,)]
     assert cache["vae_decode_s_rung"]["t"] == 0
     assert cache["vae_decode_s_rung"]["fp"] == fp
+
+
+def test_ladder_persists_rung_on_oom(bench, monkeypatch):
+    """An OOM persists the descended rung immediately (the warming queue's
+    next cycle must not re-prove the held rungs), and a later sane success
+    promotes one rung back up."""
+    fp = bench._fingerprint("vae")
+    runs = []
+
+    def fake_run(phase, extra, timeout):
+        runs.append(extra)
+        if extra in ((6,), (4,)):
+            raise bench._PhaseOOM("oom")
+        return 2.2  # sane at chunk 2
+
+    monkeypatch.setattr(bench, "_run_phase_subprocess", fake_run)
+    cache = {}
+    val, sane = bench._phase_with_retries(
+        "vae", cache, ladder=[(6,), (4,), (2,), (0,)], max_attempts=4)
+    assert (val, sane) == (2.2, True)
+    assert runs == [(6,), (4,), (2,)]
+    # descents were persisted along the way; the final success stores
+    # rung-1 so the next run retries chunk 4 (one cheap OOM if still held)
+    assert cache["vae_decode_s_rung"]["t"] == 1
+    assert cache["vae_decode_s"]["t"] == 2.2
+    assert cache["vae_decode_s"]["args"] == ["2"]
 
 
 def test_phase_mode_saves_sane_result_to_cache(bench, monkeypatch):
