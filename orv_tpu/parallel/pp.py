@@ -35,7 +35,19 @@ gradients reduce-scatter back to shards for free). fsdp acts as extra
 data parallelism (batch shards over the combined (dp, fsdp) axes, rng
 folds on the linearized (dp, fsdp) index), so dp4 x pp2 and
 dp2 x fsdp2 x pp2 compute bit-identical steps — only the memory layout
-differs. tp/sp under pp still raise.
+differs.
+
+Composes with tp via PARTIAL-MANUAL shard_map (jax 0.9 `axis_names`):
+the pipeline body is manual over (dp, fsdp, pp) only, and 'tp' stays a
+GSPMD auto axis — the Megatron column/row kernel shardings from
+`mesh._spec_for` ride through the shard_map boundary untouched and the
+partitioner inserts the per-layer tp collectives inside each stage
+exactly as in the resident step (no hand-written per-layer psums
+needed). Activations entering the manual collectives (ppermute/psum
+over 'pp') are tp-replicated, which partial-manual mode handles. The
+tp x fsdp stacked kernel dim (('tp','fsdp') on qkv out dims) cannot be
+split into a manual 'fsdp' factor + auto 'tp' factor on one dim, so
+pp x tp requires fsdp=1 (raises otherwise). sp under pp still raises.
 
 Exactness: the pipelined forward/backward computes the same math as the
 resident step (no batch-coupled ops in the blocks), verified to ~1e-5 in
@@ -252,16 +264,22 @@ def make_pp_train_step(
     pp_size = mesh.shape["pp"]
     dp_size = mesh.shape["dp"]
     fsdp_size = mesh.shape.get("fsdp", 1)
-    if mesh.shape.get("tp", 1) != 1 or mesh.shape.get("sp", 1) != 1:
-        # pp runs the block stack inside a fully-manual shard_map, where
-        # GSPMD cannot shard kernels (tp) and the sp ring (itself a
-        # shard_map) is not nested. See PARITY.md "Parallelism composition
-        # matrix" for the per-cell rationale.
+    tp_size = mesh.shape.get("tp", 1)
+    if mesh.shape.get("sp", 1) != 1:
+        # the sp ring is itself a shard_map and is not nested inside pp's
+        # manual region. See PARITY.md "Parallelism composition matrix".
         raise ValueError(
-            "pp composes with dp and fsdp only (tp=sp=1); got mesh "
-            f"{dict(mesh.shape)}. For tensor parallelism drop pp and use "
-            "the GSPMD mesh (train.mesh dp/fsdp/tp); for long sequences "
-            "use train.mesh.sp (composes with dp/fsdp, not pp)")
+            "pp composes with dp, fsdp and tp (sp=1); got mesh "
+            f"{dict(mesh.shape)}. For long sequences use train.mesh.sp "
+            "(composes with dp/fsdp, not pp)")
+    if tp_size > 1 and fsdp_size > 1:
+        # mesh._spec_for stacks ('tp','fsdp') on one kernel dim; a
+        # partial-manual shard_map cannot split one dim into a manual
+        # 'fsdp' factor plus an auto 'tp' factor.
+        raise ValueError(
+            "pp x tp requires fsdp=1 (the ('tp','fsdp')-stacked kernel "
+            f"dim cannot cross the shard_map boundary); got mesh "
+            f"{dict(mesh.shape)}. Use dp x pp x tp, or dp x fsdp x pp")
     if getattr(model, "act_mesh", None) is not None:
         # the pp step runs the model INSIDE shard_map (all axes manual),
         # where with_sharding_constraint on mesh axes is illegal — and
@@ -313,6 +331,11 @@ def make_pp_train_step(
             return loss, metrics
 
         bspecs = jax.tree_util.tree_map(lambda _: P(("dp", "fsdp")), batch)
+        kwargs = {}
+        if tp_size > 1:
+            # partial-manual: 'tp' stays auto so GSPMD shards the kernels
+            # and inserts the Megatron collectives inside each stage
+            kwargs["axis_names"] = {a for a in mesh.axis_names if a != "tp"}
         sharded = jax.shard_map(
             device_loss, mesh=mesh,
             in_specs=(pspecs, bspecs, P()),
@@ -321,6 +344,7 @@ def make_pp_train_step(
             # varying-axes checker; correctness is pinned by test_pp.py's
             # exact match against the resident step
             check_vma=False,
+            **kwargs,
         )
         return sharded(params, batch, rng)
 

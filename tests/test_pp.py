@@ -327,14 +327,75 @@ def test_pp_composes_with_fsdp():
     assert err < 1e-5, f"dp x fsdp x pp diverges from dp-only x pp: {err}"
 
 
-def test_pp_rejects_tp_sp():
+def test_pp_composes_with_tp():
+    """pp2 x tp2 must equal the resident step: 'tp' stays a GSPMD auto
+    axis through the partial-manual shard_map, so the Megatron kernel
+    shardings (mesh._spec_for column/row rules) produce the same math
+    with the collectives inserted inside each pipeline stage."""
+    model, tx, state, batch = _model_state()
+    sched = make_schedule()
+    rng = jax.random.PRNGKey(42)
+
+    ref_step = make_train_step(model.apply, tx, sched, recon_action=True,
+                               fold_rng=False, donate=False)
+    ref_state, ref_m = ref_step(state, batch, rng)
+
+    mesh = make_mesh(MeshConfig(dp=1, fsdp=1, tp=2, pp=2),
+                     devices=jax.devices("cpu")[:4])
+    pp_step = make_pp_train_step(model, tx, sched, mesh, n_micro=2,
+                                 recon_action=True, fold_rng=False,
+                                 donate=False)
+    pp_state, pp_m = pp_step(
+        TrainState(step=state.step,
+                   params=jax.device_put(state.params,
+                                         param_shardings(state.params, mesh)),
+                   opt_state=state.opt_state),
+        jax.device_put(batch, batch_sharding(mesh)), rng)
+
+    assert abs(float(pp_m["loss"]) - float(ref_m["loss"])) < 1e-5
+    assert abs(float(pp_m["grad_norm"]) - float(ref_m["grad_norm"])) < 1e-4
+    err = _max_leaf_err(jax.device_get(pp_state.params),
+                        jax.device_get(ref_state.params))
+    assert err < 1e-5, f"pp x tp params diverge from resident: {err}"
+
+
+def test_pp_tp_composes_with_dp():
+    """dp2 x pp2 x tp2 (8 devices) must equal dp2 x pp2: tp only changes
+    the kernel layout, never the math or the rng folding (which is on the
+    linearized (dp, fsdp) index — tp replicas share draws)."""
+    model, tx, state, batch = _model_state()
+    sched = make_schedule()
+    rng = jax.random.PRNGKey(7)
+
+    def run(cfg, n_dev):
+        mesh = make_mesh(cfg, devices=jax.devices("cpu")[:n_dev])
+        step = make_pp_train_step(model, tx, sched, mesh, n_micro=2,
+                                  recon_action=True, fold_rng=False,
+                                  donate=False)
+        st = TrainState(
+            step=state.step,
+            params=jax.device_put(state.params,
+                                  param_shardings(state.params, mesh)),
+            opt_state=state.opt_state)
+        return step(st, jax.device_put(batch, batch_sharding(mesh)), rng)
+
+    s_dp, m_dp = run(MeshConfig(dp=2, fsdp=1, tp=1, pp=2), 4)
+    s_tp, m_tp = run(MeshConfig(dp=2, fsdp=1, tp=2, pp=2), 8)
+    assert abs(float(m_tp["loss"]) - float(m_dp["loss"])) < 1e-5
+    err = _max_leaf_err(jax.device_get(s_tp.params), jax.device_get(s_dp.params))
+    assert err < 1e-5, f"dp x pp x tp diverges from dp x pp: {err}"
+
+
+def test_pp_rejects_sp_and_tp_fsdp():
     model, tx, state, _ = _model_state()
-    mesh = make_mesh(MeshConfig(dp=4, fsdp=1, tp=2, pp=1), backend="cpu")
-    with pytest.raises(ValueError, match="pp composes with dp and fsdp"):
-        make_pp_train_step(model, tx, make_schedule(), mesh)
     mesh = make_mesh(MeshConfig(dp=4, fsdp=1, tp=1, pp=1, sp=2),
                      backend="cpu")
-    with pytest.raises(ValueError, match="pp composes with dp and fsdp"):
+    with pytest.raises(ValueError, match="pp composes with dp, fsdp and tp"):
+        make_pp_train_step(model, tx, make_schedule(), mesh)
+    # tp x fsdp under pp: the ('tp','fsdp')-stacked kernel dim cannot be
+    # split into a manual 'fsdp' + auto 'tp' factor on one dim
+    mesh = make_mesh(MeshConfig(dp=2, fsdp=2, tp=2, pp=1), backend="cpu")
+    with pytest.raises(ValueError, match="pp x tp requires fsdp=1"):
         make_pp_train_step(model, tx, make_schedule(), mesh)
 
 
