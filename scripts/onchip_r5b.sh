@@ -59,21 +59,11 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     log "ALL DONE (cache warm + both profiles landed)"
     exit 0
   fi
-  if [ -z "$mc" ]; then
-    if [ "$DEC_PROF" = "0" ]; then
-      log "core phases warm — running decode profile"
-      if timeout 2400 python scripts/profile_decode.py \
-           > /tmp/profile_decode_r5.txt 2>&1; then
-        log "decode profile -> /tmp/profile_decode_r5.txt"
-        DEC_PROF=1
-        continue
-      fi
-      log "decode profile failed (rc=$?) — retry next cycle"
-      sleep 600
-      continue
-    fi
-    if [ "$TR_PROF" = "0" ]; then
-      log "running train profile (B=1, then B=2)"
+  # train profile only needs the (already-warm) train phases — run it
+  # FIRST so a permanently-contended vae cannot block the MFU evidence
+  if [ "$TR_PROF" = "0" ]; then
+    if ! echo " $(missing all 'train_b4') " | grep -qE " train(_b2)? "; then
+      log "train phases warm — running train profile (B=1, then B=2)"
       ok=1
       timeout 2400 python scripts/profile_train.py 1 \
         > /tmp/profile_train_r5_b1.txt 2>&1 || ok=0
@@ -85,6 +75,20 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
         continue
       fi
       log "train profile failed — retry next cycle"
+      sleep 600
+      continue
+    fi
+  fi
+  if [ -z "$mc" ]; then
+    if [ "$DEC_PROF" = "0" ]; then
+      log "core phases warm — running decode profile"
+      if timeout 2400 python scripts/profile_decode.py \
+           > /tmp/profile_decode_r5.txt 2>&1; then
+        log "decode profile -> /tmp/profile_decode_r5.txt"
+        DEC_PROF=1
+        continue
+      fi
+      log "decode profile failed (rc=$?) — retry next cycle"
       sleep 600
       continue
     fi
