@@ -7,9 +7,6 @@ kernels.
 Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/profile_decode.py [chunk]
 """
 
-import glob
-import gzip
-import json
 import sys
 import tempfile
 import time
@@ -58,24 +55,13 @@ def main():
     d = tempfile.mkdtemp(prefix="orvdecprof_")
     with jax.profiler.trace(d):
         float(run(z * 1.000123).sum())
-    traces = glob.glob(f"{d}/plugins/profile/*/*.trace.json.gz")
-    if not traces:
+    sys.path.insert(0, "/root/repo/scripts")
+    from _trace_report import leaf_totals, report
+    totals = leaf_totals(d)
+    if totals is None:
         print("no trace captured", file=sys.stderr)
         return
-    with gzip.open(traces[0], "rt") as f:
-        data = json.load(f)
-    ev = data.get("traceEvents", [])
-    tpu_pids = {e["pid"] for e in ev
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and "TPU" in str(e.get("args", {}).get("name", ""))}
-    totals = {}
-    for e in ev:
-        if e.get("ph") == "X" and e.get("pid") in tpu_pids:
-            totals[e["name"]] = totals.get(e["name"], 0.0) + e.get("dur", 0.0)
-    total_us = sum(totals.values())
-    print(f"\ndevice total: {total_us/1e3:.2f} ms across {len(totals)} op names")
-    for name, us in sorted(totals.items(), key=lambda kv: -kv[1])[:30]:
-        print(f"  {us/1e3:9.3f} ms  {us/total_us*100:5.1f}%  {name[:100]}")
+    report(totals)
 
 
 if __name__ == "__main__":

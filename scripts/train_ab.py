@@ -1,17 +1,21 @@
-"""Profile ONE 1.4B train step (fwd+bwd+adamw, the bench train phase) on
-the TPU and print the top device-time fusions — the VERDICT r4 #5 evidence
-for where the non-MXU train time goes when MFU stays under 50%.
+"""A/B ONE train-step variant (remat x policy x batch) on the TPU — the
+MFU-push experiment for VERDICT r4 #5. The bench train phase (frozen in
+bench_phases.py) uses remat=True policy="dots"; this script measures the
+same 1.4B recipe under a different memory/recompute trade WITHOUT touching
+any fingerprinted source, so the warm bench cache survives.
 
-Same recipe as scripts/profile_step.py (wrap a single dispatch in
-jax.profiler.trace, parse the vm.trace.json.gz traceEvents from the pid
-whose process_name mentions TPU — works through the axon tunnel, proven
-in round 2 on the Dv=128 PV padding bug).
+Variants are constructor knobs only (orv_tpu/models/dit.py:165,392):
+  remat=on  policy=dots   — bench default: save dot outputs, recompute rest
+  remat=on  policy=none   — full recompute (min memory)
+  remat=off policy=-      — save everything (max memory, zero recompute)
 
-Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/profile_train.py [B]
+One variant per process (freed HBM does not return mid-process — CLAUDE.md).
+
+Usage: python scripts/train_ab.py <B> <remat:on|off> <policy:dots|none>
+Prints: one line `AB B=.. remat=.. policy=..: <ms> ms -> <tok/s> tok/s, MFU <pct>%`
 """
 
 import sys
-import tempfile
 import time
 
 import jax
@@ -32,6 +36,8 @@ def main():
     from orv_tpu.utils.embeddings import prepare_rotary_positional_embeddings
 
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    remat = (sys.argv[2] if len(sys.argv) > 2 else "on") == "on"
+    policy = sys.argv[3] if len(sys.argv) > 3 else "dots"
     cfg = DiTConfig(
         num_attention_heads=28, attention_head_dim=64, num_layers=28,
         in_channels=32, out_channels=16, text_embed_dim=4096, time_embed_dim=512,
@@ -40,7 +46,8 @@ def main():
         modulate_encoder_hidden_states=False, recon_action=True,
     )
     model = ControlDiT(cfg, dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
-                       remat=True, remat_policy="dots")
+                       remat=remat,
+                       remat_policy=policy if policy == "dots" else None)
     F, C, H, W = 5, 16, 40, 60
     key = jax.random.PRNGKey
     batch = {
@@ -54,10 +61,12 @@ def main():
         attention_head_dim=cfg.attention_head_dim,
         base_height=320, base_width=480,
     )
-    print(f"init 1.4B train model (B={B})...", file=sys.stderr, flush=True)
+    print(f"init (B={B} remat={remat} policy={policy})...",
+          file=sys.stderr, flush=True)
     params = jax.jit(lambda: model.init(
         {"params": key(0), "action_mask": key(1)},
-        batch["latents"][:, :C].transpose(0, 2, 1, 3, 4).astype(jnp.bfloat16).repeat(2, 2),
+        batch["latents"][:, :C].transpose(0, 2, 1, 3, 4)
+        .astype(jnp.bfloat16).repeat(2, 2),
         batch["prompt_embeds"], jnp.zeros((B,), jnp.int32),
         actions=batch["actions"], image_rotary_emb=rope, deterministic=False,
     ))()
@@ -67,35 +76,23 @@ def main():
                        opt_state=tx.init(params))
     step = make_train_step(model.apply, tx, make_schedule(), recon_action=True,
                            image_rotary_emb=rope)
-    print("compile train step...", file=sys.stderr, flush=True)
+    print("compile...", file=sys.stderr, flush=True)
     state, m = step(state, batch, key(42))
     float(m["loss"])
     times = []
-    for i in range(3):
+    for i in range(4):
         b = dict(batch)
-        b["latents"] = batch["latents"] * (1.0 + (i + 1) * 1e-6)
+        b["latents"] = batch["latents"] * (1.0 + (i + 1) * 1e-6)  # tunnel dedups
         t0 = time.time()
         state, m = step(state, b, key(43 + i))
         float(m["loss"])
         times.append(time.time() - t0)
     best = min(times)
-    mfu = 100.0 * 6.0 * TRAIN_N_PARAMS * TRAIN_TOKENS_PER_SAMPLE * B / best / V5E_BF16_PEAK
-    print(f"train step B={B}: min {best*1e3:.1f} ms over {len(times)} trials "
-          f"-> {TRAIN_TOKENS_PER_SAMPLE*B/best:.0f} tok/s, MFU {mfu:.1f}%")
-
-    d = tempfile.mkdtemp(prefix="orvtrainprof_")
-    b = dict(batch)
-    b["latents"] = batch["latents"] * 1.000123
-    with jax.profiler.trace(d):
-        state, m = step(state, b, key(99))
-        float(m["loss"])
-    sys.path.insert(0, "/root/repo/scripts")
-    from _trace_report import leaf_totals, report
-    totals = leaf_totals(d)
-    if totals is None:
-        print("no trace captured", file=sys.stderr)
-        return
-    report(totals)
+    mfu = (100.0 * 6.0 * TRAIN_N_PARAMS * TRAIN_TOKENS_PER_SAMPLE * B
+           / best / V5E_BF16_PEAK)
+    print(f"AB B={B} remat={'on' if remat else 'off'} policy={policy}: "
+          f"{best*1e3:.1f} ms -> {TRAIN_TOKENS_PER_SAMPLE*B/best:.0f} tok/s, "
+          f"MFU {mfu:.1f}%")
 
 
 if __name__ == "__main__":
