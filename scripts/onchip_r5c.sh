@@ -100,23 +100,17 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   fi
   case " $m " in
     *" vae "*)
-      if [ "$VAE_DIRECT_FAILS" -lt 6 ]; then
-        log "direct --phase vae (chunk 6) attempt $((VAE_DIRECT_FAILS+1))"
-        timeout 1500 python bench.py --phase vae \
-          > /tmp/phase_vae_r5.out 2> /tmp/phase_vae_r5.err
-        log "phase vae rc=$? out: $(tail -1 /tmp/phase_vae_r5.out)"
-        if echo " $(missing all) " | grep -q " vae "; then
-          VAE_DIRECT_FAILS=$((VAE_DIRECT_FAILS + 1))
-          sleep 120
-        fi
-      else
-        # chunk-6 won't fit this window — one full-bench run descends the
-        # persisted ladder (chunk 4/2/tiled auto-cache WITH provenance)
-        log "direct chunk-6 exhausted — full bench ladder run"
-        ORV_TPU_BENCH_BUDGET_S=2400 timeout 3000 python bench.py \
-          > /tmp/bench_r5.out 2> /tmp/bench_r5.err
-        log "bench rc=$? last: $(tail -1 /tmp/bench_r5.out)"
-        VAE_DIRECT_FAILS=3  # alternate: 3 more direct tries, then ladder
+      # `--ladder vae` = the full bench's retry/ladder machinery on ONE
+      # phase: resumes at the persisted rung (currently 2 — chunk 6/4
+      # OOM'd against the co-tenant hold 06:14-06:34), fresh subprocess
+      # per rung, auto-cache with args provenance. rc=0 iff sane.
+      log "ladder vae attempt $((VAE_DIRECT_FAILS+1)) (resumes persisted rung)"
+      ORV_TPU_BENCH_BUDGET_S=2400 timeout 3000 python bench.py --ladder vae \
+        > /tmp/phase_vae_r5.out 2> /tmp/phase_vae_r5.err
+      log "ladder vae rc=$? out: $(tail -1 /tmp/phase_vae_r5.out)"
+      if echo " $(missing all) " | grep -q " vae "; then
+        VAE_DIRECT_FAILS=$((VAE_DIRECT_FAILS + 1))
+        sleep 120
       fi
       continue;;
     *" train_b4 "*)
