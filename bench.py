@@ -99,6 +99,25 @@ def _fingerprint(phase: str) -> str:
     return h.hexdigest()[:12]
 
 
+# Quiet-window slowdown bounds for descended ladder rungs. SANE[phase] is
+# calibrated for the headline rung (decode chunk-6 measured 1.73s quiet →
+# 4.0s ceiling); the descended footprints are GENUINELY slower even on an
+# idle chip (chunk-2 runs 7 conv-cache chunks instead of 3; the tiled
+# last-resort path more), so a flat ceiling would reject a quiet-window
+# measurement from a descended rung and the ladder could neither land a
+# fresh headline nor promote back up. A slacked rung that passes is still
+# an honest measurement — it is cached with its args so the emit reports
+# `vae_decode_chunk` provenance and a later faster rung overwrites it.
+_RUNG_SLACK = {
+    ("vae", (4,)): 1.25, ("vae", (2,)): 1.75, ("vae", (0,)): 2.75,
+    ("encode", (4,)): 1.25, ("encode", (2,)): 1.75,
+}
+
+
+def _rung_slack(phase: str, extra) -> float:
+    return _RUNG_SLACK.get((phase, tuple(extra)), 1.0)
+
+
 def _remaining() -> float:
     return GLOBAL_BUDGET_S - (time.time() - START)
 
@@ -401,7 +420,6 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
       contention ceiling. Never sleeps: the global deadline is the only
       clock that matters.
     """
-    sane = SANE[phase]
     ladder = list(ladder or [()])
     best = None
     best_extra = ()
@@ -416,19 +434,24 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
             rung = min(int(prev), len(ladder) - 1)
     key = PHASE_KEY[phase]
     fp = _fingerprint(phase)
+    sane_val = None
     for attempt in range(max_attempts):
         if _remaining() < 90.0:  # not enough budget for compile + trial
             break
         timeout = max(60.0, min(_remaining() - 20.0, first_timeout))
         extra = ladder[min(rung, len(ladder) - 1)]
+        ceiling = SANE[phase] * _rung_slack(phase, extra)
         try:
             val = _run_phase_subprocess(phase, extra, timeout=timeout)
             if best is None or val < best:
                 best, best_extra = val, extra
-            if best <= sane:
+            if val <= ceiling:
+                sane_val = val
+                best, best_extra = val, extra
                 break
-            print(f"bench: {phase}{extra} took {val:.2f}s (contended window) — "
-                  f"retrying", file=sys.stderr, flush=True)
+            print(f"bench: {phase}{extra} took {val:.2f}s (contended window, "
+                  f"ceiling {ceiling:.1f}s) — retrying",
+                  file=sys.stderr, flush=True)
             rung += 1
         except _PhaseOOM as e:
             print(f"bench: {e} — descending ladder", file=sys.stderr, flush=True)
@@ -442,7 +465,7 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
                 _save_cache(cache)
         except Exception as e:  # noqa: BLE001
             print(f"bench: {phase} attempt failed: {e}", file=sys.stderr, flush=True)
-    if best is not None and best <= sane:
+    if sane_val is not None:
         cached = _cache_get(cache, key, fp)
         if cached is None or best < cached:
             _store(cache, key, fp, best, args=best_extra)

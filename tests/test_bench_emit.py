@@ -205,3 +205,48 @@ def test_dryrun_full_remat_gate_unit():
     assert "planted-from-fd2" in captured
     with pytest.raises(RuntimeError, match="full-rematerialization"):
         g._assert_no_full_remat(captured)
+
+
+def test_ladder_rung_sane_slack(tmp_path, monkeypatch):
+    """Descended ladder rungs get a rung-aware sane ceiling: SANE['vae']
+    (4.0 s) is calibrated for the chunk-6 headline, but a QUIET-window
+    chunk-2 decode is genuinely slower — a flat ceiling could reject every
+    measurement the persisted rung can produce and deadlock the ladder
+    under a long co-tenant hold (observed r5: rung pinned at chunk-2,
+    three honest-but-contended 39 s reads, no promotion path)."""
+    cache_path = tmp_path / "cache.json"
+    monkeypatch.setattr(bench, "CACHE_PATH", cache_path)
+    ladder = [(6,), (4,), (2,), (0,)]
+    fp = _fp("vae")
+
+    # persisted rung 2 (chunk-2); a quiet-window 5.5 s chunk-2 measurement
+    # exceeds flat SANE (4.0) but passes the slacked ceiling (4.0*1.75=7.0)
+    cache = {}
+    bench._store(cache, "vae_decode_s_rung", fp, 2)
+    monkeypatch.setattr(bench, "_run_phase_subprocess",
+                        lambda phase, extra, timeout: 5.5)
+    val, sane = bench._phase_with_retries("vae", cache, ladder=ladder,
+                                          max_attempts=4)
+    assert (val, sane) == (5.5, True)
+    ent = bench._cache_entry(cache, "vae_decode_s", fp)
+    assert ent["t"] == pytest.approx(5.5)
+    assert list(ent["args"]) == ["2"]  # chunk provenance rides into the emit
+    # sane success promotes the rung one step up for the next window
+    assert bench._cache_get(cache, "vae_decode_s_rung", fp) == 1
+
+    # a contended window (39 s) still fails every rung's ceiling: no
+    # headline write, sane=False
+    cache = {}
+    bench._store(cache, "vae_decode_s_rung", fp, 2)
+    monkeypatch.setattr(bench, "_run_phase_subprocess",
+                        lambda phase, extra, timeout: 39.0)
+    val, sane = bench._phase_with_retries("vae", cache, ladder=ladder,
+                                          max_attempts=3)
+    assert (val, sane) == (39.0, False)
+    assert bench._cache_entry(cache, "vae_decode_s", fp) is None
+
+    # flat-rung phases (no ladder) keep the plain SANE ceiling
+    monkeypatch.setattr(bench, "_run_phase_subprocess",
+                        lambda phase, extra, timeout: 26.0)
+    val, sane = bench._phase_with_retries("sampler", {}, max_attempts=1)
+    assert (val, sane) == (26.0, False)
