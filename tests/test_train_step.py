@@ -452,7 +452,7 @@ def test_pp_refuses_sp_mesh():
     mesh = make_mesh(MeshConfig(dp=2, pp=2, sp=2), backend="cpu")
     model = ControlDiT(CFG, dtype=jnp.float32)
     tx = make_optimizer(make_lr_schedule())
-    with pytest.raises(ValueError, match="composes with dp and fsdp only"):
+    with pytest.raises(ValueError, match="composes with dp, fsdp and tp"):
         make_pp_train_step(model, tx, make_schedule(), mesh)
 
 
