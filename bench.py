@@ -204,6 +204,15 @@ class _PhaseOOM(RuntimeError):
     pass
 
 
+class _PhaseTimeout(RuntimeError):
+    """A phase subprocess exceeded its wall-clock timeout. In the ladder
+    this advances the rung like an OOM: a trial that cannot finish inside
+    the timeout is definitionally not sane, and a smaller footprint
+    competes better against a co-tenant HBM hold (observed r5: one
+    contended chunk-2 trial burned 935 s of a 2400 s budget while the
+    tiled rung answered in 72 s under the same load)."""
+
+
 def _run_phase_subprocess(phase: str, extra=(), timeout=None) -> float:
     """Each phase runs in its own process: the tunneled TPU backend does not
     reliably return HBM freed mid-process, so phase isolation keeps the VAE
@@ -219,7 +228,7 @@ def _run_phase_subprocess(phase: str, extra=(), timeout=None) -> float:
         if isinstance(tail, bytes):
             tail = tail.decode(errors="replace")
         sys.stderr.write(tail[-1000:])
-        raise RuntimeError(f"phase {phase} timed out after {timeout:.0f}s")
+        raise _PhaseTimeout(f"phase {phase} timed out after {timeout:.0f}s")
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-2000:])
         if "RESOURCE_EXHAUSTED" in out.stderr:
@@ -439,6 +448,13 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
         if _remaining() < 90.0:  # not enough budget for compile + trial
             break
         timeout = max(60.0, min(_remaining() - 20.0, first_timeout))
+        if rung > 0:
+            # descended rungs get a tighter wall: their quiet-window trial
+            # fits easily (warm compile cache + seconds of decode), and a
+            # window that can't finish inside this can't produce a sane
+            # timing anyway — cut it and descend instead of burning the
+            # budget (the 935 s chunk-2 trial, see _PhaseTimeout)
+            timeout = min(timeout, 700.0)
         extra = ladder[min(rung, len(ladder) - 1)]
         ceiling = SANE[phase] * _rung_slack(phase, extra)
         try:
@@ -453,7 +469,7 @@ def _phase_with_retries(phase: str, cache: dict, ladder=None, max_attempts=3,
                   f"ceiling {ceiling:.1f}s) — retrying",
                   file=sys.stderr, flush=True)
             rung += 1
-        except _PhaseOOM as e:
+        except (_PhaseOOM, _PhaseTimeout) as e:
             print(f"bench: {e} — descending ladder", file=sys.stderr, flush=True)
             rung += 1
             if len(ladder) > 1:

@@ -250,3 +250,36 @@ def test_ladder_rung_sane_slack(tmp_path, monkeypatch):
                         lambda phase, extra, timeout: 26.0)
     val, sane = bench._phase_with_retries("sampler", {}, max_attempts=1)
     assert (val, sane) == (26.0, False)
+
+
+def test_ladder_timeout_descends_rung(tmp_path, monkeypatch):
+    """A trial that exceeds its wall-clock timeout advances the ladder like
+    an OOM (it is definitionally not sane; a smaller footprint competes
+    better for HBM) instead of burning every attempt on the same rung —
+    r5 observed one contended chunk-2 trial eat 935 s of a 2400 s budget
+    while the tiled rung answered in 72 s under the same load."""
+    cache_path = tmp_path / "cache.json"
+    monkeypatch.setattr(bench, "CACHE_PATH", cache_path)
+    ladder = [(6,), (4,), (2,), (0,)]
+    fp = _fp("vae")
+    cache = {}
+    bench._store(cache, "vae_decode_s_rung", fp, 2)
+
+    calls = []
+
+    def fake_run(phase, extra, timeout):
+        calls.append((tuple(extra), timeout))
+        if tuple(extra) == (2,):
+            raise bench._PhaseTimeout("phase vae timed out after 700s")
+        return 8.0  # tiled rung, under its slacked ceiling 4.0*2.75=11.0
+
+    monkeypatch.setattr(bench, "_run_phase_subprocess", fake_run)
+    val, sane = bench._phase_with_retries("vae", cache, ladder=ladder,
+                                          max_attempts=4)
+    assert (val, sane) == (8.0, True)
+    assert [c[0] for c in calls] == [(2,), (0,)]
+    # descended rungs run under the tighter 700 s wall
+    assert all(t <= 700.0 for _, t in calls)
+    ent = bench._cache_entry(cache, "vae_decode_s", fp)
+    assert ent["t"] == pytest.approx(8.0)
+    assert list(ent["args"]) == ["0"]
